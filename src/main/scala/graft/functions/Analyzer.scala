@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analyzer (tokenizer) shared by index build, query parsing and the
+  * brute-force oracle scorer.
+  *
+  * Semantics descend from the reference's normalization chain — lowercase
+  * (reference `src/url/url_utils.cpp:19-20`), whitespace collapse + trim
+  * (`src/htmlparser/htmlparser.cpp:104-138`), ASCII-case-insensitive
+  * matching (`src/searcher/searcher.cpp:16,24`) — upgraded to real
+  * tokenization: `lower(s).split(/[^a-z0-9]+/).filter(_.nonEmpty)`.
+  *
+  * The column form and the driver-side Scala form MUST stay semantically
+  * identical: the query path analyzes the query string on the driver while
+  * the index path analyzes content distributed, and BM25 rank-identity
+  * requires both to agree token-for-token.
+  */
+object Analyzer {
+
+  /** Split pattern: any run of chars outside [a-z0-9]. Applied after
+    * lowercasing, so uppercase input is handled. */
+  val SplitPattern = "[^a-z0-9]+"
+
+  /** Column-level tokenizer: `array<string>` of non-empty tokens.
+    * Pure built-in Catalyst expressions (lower/split/filter) — fully
+    * codegen'd, no UDF. */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), SplitPattern), t => length(t) > lit(0))
+
+  /** Driver/executor-side Scala twin of [[tokensCol]]. Locale.ROOT so the
+    * result is independent of the JVM default locale (e.g. Turkish 'I'). */
+  def tokenize(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split(SplitPattern).toSeq.filter(_.nonEmpty)
+
+  /** Query analysis: distinct terms in ascending order. Sorted order is
+    * load-bearing — BM25 scores are accumulated term-by-term in this order
+    * in BOTH the oracle and the indexed engine, so floating-point sums
+    * associate identically (rank-identity contract, BASELINE.md). */
+  def queryTerms(q: String): Seq[String] = tokenize(q).distinct.sorted
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.Corpus
+import graft.functions.Analyzer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring: constants, the shared term-statistics dataflow, and the
+  * brute-force DataFrame oracle scorer (SURVEY.md §7 M0).
+  *
+  * The oracle replaces the reference's unranked `LIKE '%q%'` full scan
+  * (reference `src/searcher/searcher.cpp:16-39`) with real IR semantics:
+  * multi-term AND + BM25 top-k, deterministic `(score DESC, docID ASC)`
+  * order. It is deliberately the simplest obviously-correct formulation —
+  * everything in the indexed engine (Index/QueryEngine) is tested
+  * rank-identical against it.
+  *
+  * Floating-point determinism contract (BASELINE.md "rank-identity"):
+  *   - score = ((c_t1 + c_t2) + c_t3) ... accumulated in ascending term
+  *     order — a FIXED association order, identical in oracle, indexed
+  *     engine, and the DuckDB oracle SQL.
+  *   - externally-compared entries round scores to 4 decimals and order by
+  *     the rounded score, so ULP-level libm differences between JVM and
+  *     DuckDB cannot flip ranks; internal Spark-vs-Spark tests assert 1e-9.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B  = 0.75
+  val K  = 10
+
+  /** The fixed reference query set (FIXTURES.md §4). */
+  val QuerySet: Seq[(String, String)] = Seq(
+    "q01" -> "window",
+    "q02" -> "batch",
+    "q03" -> "hash join",
+    "q04" -> "table scan merge",
+    "q05" -> "zzzzunknown",
+    "q06" -> "Sort ORDER",
+    "q07" -> "spark query",
+    "q08" -> "customer line",
+    "q09" -> "the",
+    "q10" -> "filter small value",
+  )
+
+  // ---------------------------------------------------------------- stats
+
+  /** (docID, term, tf) — term frequency per document. One shuffle
+    * (hash agg with map-side partial aggregation). */
+  def termFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(col("docID"), explode(Analyzer.tokensCol(col("content"))).as("term"))
+      .groupBy(col("docID"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (docID, len) — document length in tokens. Derived from termFreq so
+    * Σtf-per-doc == len by construction. */
+  def docLengths(tf: DataFrame): DataFrame =
+    tf.groupBy(col("docID")).agg(sum(col("tf")).as("len"))
+
+  /** (term, df) — exact document frequency. tf is unique per (term,docID),
+    * so df is a plain count — no countDistinct shuffle needed. */
+  def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Single-row (n, avgdl). avgdl = sum(len)/n (exact integer sum, one
+    * rounding at the division) — NOT avg(), whose accumulation order could
+    * differ between engines. */
+  def corpusStats(doclen: DataFrame): DataFrame =
+    doclen.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+
+  // -------------------------------------------------------------- scoring
+
+  /** idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) — column form. */
+  def idfCol(n: Column, df: Column): Column =
+    log((n - df.cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)) + lit(1.0))
+
+  /** Per-(term,doc) BM25 contribution:
+    * idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl)).
+    * Literal shapes match the DuckDB SQL twin exactly (2.2, 1.2, 0.25,
+    * 0.75 — all exactly-representable arithmetic up to the division). */
+  def contribCol(idf: Column, tf: Column, len: Column, avgdl: Column): Column =
+    idf * (tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * len.cast("double") / avgdl))
+
+  /** Scala twin of idf/contrib for the mapPartitions query engine. Must
+    * mirror the column expressions operation-for-operation. */
+  def idf(n: Double, df: Long): Double =
+    math.log((n - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+
+  def contrib(idf: Double, tf: Long, len: Long, avgdl: Double): Double =
+    idf * (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * len.toDouble / avgdl))
+
+  // --------------------------------------------------------------- oracle
+
+  /** Brute-force BM25 AND-semantics top-k for every query in [[QuerySet]].
+    * Output: (query, rank, docID, score) with score rounded to 4 decimals
+    * and rank computed over the ROUNDED score (see class doc).
+    *
+    * Implementation: per query, pivot per-term contributions into columns
+    * and add them in ascending-term order — a fixed-association sum, and
+    * the pivot doubles as the AND filter (all columns non-null).
+    */
+  def oracleTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      // fixed left-to-right association: ((c1 + c2) + c3) ...
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score variant for internal rank-identity tests (no rounding;
+    * order by the exact score). */
+  def oracleTopKExact(spark: SparkSession, sfDir: String, qtext: String,
+                      k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val terms  = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return spark.emptyDataFrame
+      .selectExpr() // never hit by the fixed set; guarded in tests
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+    val pivoted = scored
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("docID"))
+      .pivot("term", terms)
+      .agg(first(col("contrib")))
+    val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+    val score = terms.map(t => col(t)).reduce(_ + _)
+    pivoted
+      .filter(allPresent)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
+  // ------------------------------------------------------- DuckDB twin SQL
+
+  /** ANSI SQL (DuckDB dialect) twin of [[oracleTopK]], generated from the
+    * same QuerySet so both sides share one source of truth. Table name
+    * `documents` = the driver-registered parquet. */
+  def oracleSqlTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+}
