@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, SubstringSearch}
+import graft.operators.{Bm25, Index, QueryEngine, SubstringSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,9 +13,18 @@ import graft.operators.{Bm25, SubstringSearch}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * BM25 top-k over the fixed query set via the oracle scorer. */
+    * BM25 top-k over the fixed query set via the INDEXED engine (build
+    * resumable inverted index, then block-max WAND query). */
   def entry(spark: SparkSession): DataFrame =
-    Bm25.oracleTopK(spark, "/root/testdata/sf0.001")
+    indexedTopK(spark, "/root/testdata/sf0.001")
+
+  /** Build (or resume) the inverted index for sfDir in a deterministic
+    * scratch dir, then answer the whole query set through it. */
+  def indexedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, indexDir).topKAll()
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,6 +55,10 @@ object SparkEntry {
 
     // -- brute-force BM25 top-k oracle over the fixed query set (M0)
     "bm25_topk_oracle" -> ((s, dir) => Bm25.oracleTopK(s, dir)),
+
+    // -- THE headline operator (M1+M2): resumable partitioned inverted
+    //    index + block-max WAND top-k; rank-identical to the oracle SQL
+    "bm25_topk_indexed" -> ((s, dir) => indexedTopK(s, dir)),
 
     // -- reference LIKE-substring parity (SURVEY §2.4 P8 / §2.7 O3)
     "substring_search" -> ((s, dir) => SubstringSearch.searchAll(s, dir)),
@@ -90,6 +103,10 @@ object SparkEntry {
         |FROM tok GROUP BY docID ORDER BY docID""".stripMargin,
 
     "bm25_topk_oracle" -> Bm25.oracleSqlTopK(),
+
+    // the indexed engine must reproduce the very same frame the
+    // brute-force SQL computes — that IS the rank-identity gate
+    "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
 
     "substring_search" -> SubstringSearch.oracleSql,
   )

@@ -94,6 +94,15 @@ object Bm25 {
   def contrib(idf: Double, tf: Long, len: Long, avgdl: Double): Double =
     idf * (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * len.toDouble / avgdl))
 
+  /** idf-free quotient `tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl))`, stored
+    * per-block (max) at index-build time as the block-max WAND upper
+    * bound. NOT used for scoring (scoring recomputes [[contrib]] with the
+    * exact association order); bounds built from it are padded by 1 ULP-ish
+    * before pruning comparisons, so the different association here can
+    * never cause a wrongful prune. */
+  def quotient(tf: Long, len: Long, avgdl: Double): Double =
+    (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * len.toDouble / avgdl))
+
   // --------------------------------------------------------------- oracle
 
   /** Brute-force BM25 AND-semantics top-k for every query in [[QuerySet]].

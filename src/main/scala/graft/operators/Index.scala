@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.Corpus
+import graft.functions.Codec
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
+
+/** Typed index model + the distributed inverted-index builder (SURVEY.md
+  * §7 M1; north rule: per-partition sorted posting lists as typed
+  * Datasets, merge-sorted and delta+varint-compressed into a partitioned
+  * index table, df-based range partitioning with salting for stop-word
+  * skew, checkpointed resumable stages with per-partition lineage).
+  *
+  * This replaces the reference's "index" — a plain SQLite row table
+  * (reference `src/database/database.cpp:31-34`) that could only answer
+  * `LIKE '%q%'` full scans (`src/searcher/searcher.cpp:16`) — with a real
+  * partitioned inverted index.
+  *
+  * Layout on disk (all Iceberg-shaped partitioned Parquet):
+  *   indexDir/tf          (docID, term, tf)            stage "tf"
+  *   indexDir/docstats    (docID, len)                 stage "docstats"
+  *   indexDir/stats       (n, avgdl, maxDoc) 1 row     stage "docstats"
+  *   indexDir/dictionary  (term, df, bucket)           stage "dictionary"
+  *   indexDir/postings    partitionBy(bucket) segments stage "postings"
+  *   indexDir/lineage     (stage, partitionId, rowCount, tokenCount, status)
+  *   indexDir/_done_<stage> completion markers (resume skips done stages)
+  */
+object Index {
+
+  /** One term-posting with the doc/term stats needed at encode time. */
+  final case class TermPosting(term: String, docID: Long, tf: Long,
+                               len: Long, df: Long, bucket: Int)
+
+  /** A compressed posting-list segment. Segments of one term cover
+    * pairwise-disjoint docID ranges (salting cuts on fixed docID-chunk
+    * boundaries), so the per-term list is the minDoc-ordered concatenation
+    * of its segments. Block directory per Codec.BlockSize postings. */
+  final case class PostingSegment(
+      term: String, bucket: Int, df: Long,
+      minDoc: Long, maxDoc: Long, count: Int,
+      docBlob: Array[Byte], tfBlob: Array[Byte],
+      blockLastDoc: Array[Long], blockMaxQ: Array[Double],
+      blockDocOff: Array[Int], blockTfOff: Array[Int])
+
+  final case class DocStat(docID: Long, len: Long)
+  final case class DictEntry(term: String, df: Long, bucket: Int)
+  final case class CorpusStat(n: Double, avgdl: Double, maxDoc: Long)
+  final case class LineageRow(stage: String, partitionId: Int,
+                              rowCount: Long, tokenCount: Long, status: String)
+
+  /** Build parameters. Defaults are tuned for the sandbox corpora but the
+    * scale story is the same shape: at 10^12 files you'd raise
+    * segmentSize to ~64Ki postings, saltChunk to ~1M docIDs, numBuckets
+    * to 64, and partitions to O(cluster cores). */
+  final case class BuildParams(
+      numBuckets: Int = 16,
+      saltThreshold: Long = 1000,  // df above which a term's list is salted
+      saltChunk: Long = 1024,      // docID-range width of one salt chunk
+      segmentSize: Int = 1024,     // max postings per segment row
+      partitions: Int = 32)
+
+  /** df-range bucket: log2-spaced document-frequency ranges, capped.
+    * Deterministic integer math (no floating log). High buckets = the
+    * stop-word-like heavy hitters → isolated partitions at write time,
+    * pruned at query time via the dictionary. */
+  def bucketOf(df: Long, numBuckets: Int): Int =
+    math.min(numBuckets - 1, 63 - java.lang.Long.numberOfLeadingZeros(df))
+
+  // ------------------------------------------------------------- stages
+
+  private def done(indexDir: String, stage: String): Boolean =
+    Files.exists(Paths.get(s"$indexDir/_done_$stage"))
+
+  private def mark(indexDir: String, stage: String): Unit =
+    Files.write(Paths.get(s"$indexDir/_done_$stage"), Array.emptyByteArray)
+
+  private def appendLineage(spark: SparkSession, indexDir: String,
+                            rows: Dataset[LineageRow]): Unit =
+    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/lineage")
+
+  /** Full resumable build. Stages already marked done are skipped (their
+    * outputs are reused untouched) — kill/retry-safe: each stage writes
+    * its output, then lineage, then the marker. */
+  def build(spark: SparkSession, sfDir: String, indexDir: String,
+            p: BuildParams = BuildParams()): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(indexDir))
+
+    // -- stage 1: term frequencies (one shuffle: partial+final hash agg)
+    if (!done(indexDir, "tf")) {
+      val docs = Corpus.docs(spark, sfDir)
+      Bm25.termFreq(docs)
+        .repartition(p.partitions, col("term"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
+      val lin = spark.read.parquet(s"$indexDir/tf")
+        .groupBy(spark_partition_id().as("partitionId"))
+        .agg(count(lit(1)).as("rowCount"), sum(col("tf")).as("tokenCount"))
+        .select(lit("tf").as("stage"), col("partitionId"),
+          col("rowCount"), col("tokenCount"), lit("complete").as("status"))
+        .as[LineageRow]
+      appendLineage(spark, indexDir, lin)
+      mark(indexDir, "tf")
+    }
+    val tf = spark.read.parquet(s"$indexDir/tf")
+
+    // -- stage 2: doc lengths + corpus stats
+    if (!done(indexDir, "docstats")) {
+      Bm25.docLengths(tf)
+        .repartitionByRange(p.partitions, col("docID"))
+        .sortWithinPartitions(col("docID"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docstats")
+      val dl = spark.read.parquet(s"$indexDir/docstats")
+      dl.agg(
+          count(lit(1)).cast("double").as("n"),
+          (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"),
+          max(col("docID")).as("maxDoc"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+      val lin = dl
+        .groupBy(spark_partition_id().as("partitionId"))
+        .agg(count(lit(1)).as("rowCount"), sum(col("len")).as("tokenCount"))
+        .select(lit("docstats").as("stage"), col("partitionId"),
+          col("rowCount"), col("tokenCount"), lit("complete").as("status"))
+        .as[LineageRow]
+      appendLineage(spark, indexDir, lin)
+      mark(indexDir, "docstats")
+    }
+
+    // -- stage 3: dictionary (term → df, bucket); term-sorted for
+    //    row-group min/max pruning on query-term lookups
+    if (!done(indexDir, "dictionary")) {
+      val nb = p.numBuckets
+      Bm25.docFreq(tf).as[(String, Long)]
+        .map { case (term, df) => DictEntry(term, df, bucketOf(df, nb)) }
+        .repartitionByRange(p.partitions, col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dictionary")
+      val lin = spark.read.parquet(s"$indexDir/dictionary")
+        .groupBy(col("bucket").as("partitionId"))
+        .agg(count(lit(1)).as("rowCount"), sum(col("df")).as("tokenCount"))
+        .select(lit("dictionary").as("stage"), col("partitionId"),
+          col("rowCount"), col("tokenCount"), lit("complete").as("status"))
+        .as[LineageRow]
+      appendLineage(spark, indexDir, lin)
+      mark(indexDir, "dictionary")
+    }
+
+    // -- stage 4: salted repartition → per-partition merge-sort → encode
+    if (!done(indexDir, "postings")) {
+      val stats = spark.read.parquet(s"$indexDir/stats").as[CorpusStat].head()
+      val avgdl = stats.avgdl
+      val dict = spark.read.parquet(s"$indexDir/dictionary")
+      val doclen = spark.read.parquet(s"$indexDir/docstats")
+
+      // Salting (north rule): terms with df > saltThreshold are split on
+      // fixed docID-chunk boundaries so no single partition owns a whole
+      // stop-word posting list; chunks are contiguous docID ranges, so
+      // per-term segment ranges stay disjoint across partitions.
+      val salted = tf
+        .join(doclen, "docID")
+        .join(dict, "term")
+        .withColumn("salt",
+          when(col("df") > p.saltThreshold,
+            floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
+        .select(col("term"), col("docID"), col("tf"), col("len"),
+          col("df"), col("bucket"), col("salt"))
+
+      val segs = salted
+        .repartition(p.partitions, col("bucket"), col("term"), col("salt"))
+        .sortWithinPartitions(col("term"), col("docID"))
+        .drop("salt")
+        .as[TermPosting]
+        .mapPartitions(it => encodePartition(it, avgdl, p))
+
+      segs.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$indexDir/postings")
+      val lin = spark.read.parquet(s"$indexDir/postings")
+        .groupBy(col("bucket").as("partitionId"))
+        .agg(count(lit(1)).as("rowCount"), sum(col("count")).as("tokenCount"))
+        .select(lit("postings").as("stage"), col("partitionId"),
+          col("rowCount"), col("tokenCount"), lit("complete").as("status"))
+        .as[LineageRow]
+      appendLineage(spark, indexDir, lin)
+      mark(indexDir, "postings")
+    }
+  }
+
+  /** Streaming encode of one sorted partition: rows arrive sorted by
+    * (term, docID); emit a segment whenever the term changes, the segment
+    * reaches segmentSize postings, or (salted terms) the docID crosses a
+    * salt-chunk boundary. Never materializes more than one segment. */
+  def encodePartition(rows: Iterator[TermPosting], avgdl: Double,
+                      p: BuildParams): Iterator[PostingSegment] =
+    new Iterator[PostingSegment] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): PostingSegment = {
+        val first = it.head
+        val term = first.term
+        val salted = first.df > p.saltThreshold
+        val chunk = if (salted) first.docID / p.saltChunk else 0L
+        val ids = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
+        val tfs = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
+        val qs = new ArrayBuffer[Double](math.min(p.segmentSize, 64))
+        var continue = true
+        while (continue && it.hasNext) {
+          val r = it.head
+          if (r.term != term || ids.length >= p.segmentSize ||
+              (salted && r.docID / p.saltChunk != chunk)) {
+            continue = false
+          } else {
+            require(ids.isEmpty || r.docID > ids.last,
+              s"postings not strictly increasing for term=$term: ${r.docID}")
+            ids += r.docID
+            tfs += r.tf
+            qs += Bm25.quotient(r.tf, r.len, avgdl)
+            it.next()
+          }
+        }
+        val idArr = ids.toArray
+        val blocks = Codec.encodeBlocks(idArr, tfs.toArray, qs.toArray)
+        PostingSegment(term, first.bucket, first.df,
+          idArr.head, idArr.last, idArr.length,
+          blocks.docBlob, blocks.tfBlob,
+          blocks.blockLastDoc, blocks.blockMaxQ,
+          blocks.blockDocOff, blocks.blockTfOff)
+      }
+    }
+
+  // ----------------------------------------------------------- readers
+
+  def readStats(spark: SparkSession, indexDir: String): CorpusStat = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/stats").as[CorpusStat].head()
+  }
+
+  def readDictionary(spark: SparkSession, indexDir: String): Dataset[DictEntry] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/dictionary").as[DictEntry]
+  }
+
+  def readSegments(spark: SparkSession, indexDir: String,
+                   terms: Seq[String], buckets: Seq[Int]): Dataset[PostingSegment] = {
+    import spark.implicits._
+    // bucket filter → partition-directory pruning; term filter → pushed
+    // to parquet row-group min/max (segments written term-sorted).
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("bucket"), col("df"), col("minDoc"),
+        col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
+        col("blockLastDoc"), col("blockMaxQ"),
+        col("blockDocOff"), col("blockTfOff"))
+      .as[PostingSegment]
+  }
+
+  def readDocStats(spark: SparkSession, indexDir: String): Dataset[DocStat] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/docstats").as[DocStat]
+  }
+
+  def readLineage(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/lineage")
+}

@@ -1,0 +1,165 @@
+package graft
+
+import graft.functions.Codec
+import graft.operators.{Bm25, Index, QueryEngine}
+import graft.operators.Index._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.reflect.io.Directory
+
+/** End-to-end gate for M1/M2: the indexed engine must be rank-identical
+  * to the brute-force DataFrame oracle (north rule; SURVEY.md §5.2.3).
+  * Built with aggressive salting/segmenting params so the skew paths are
+  * exercised even on the 500-doc corpus. */
+class IndexQuerySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = SparkFixture.Sf0001
+  private val indexDir = "target/test-index-sf0001"
+  // df>50 → salted in 64-doc chunks; segments ≤128 postings; tiny buckets
+  private val params = BuildParams(numBuckets = 8, saltThreshold = 50,
+    saltChunk = 64, segmentSize = 128, partitions = 4)
+
+  private lazy val built: Unit = {
+    new Directory(new java.io.File(indexDir)).deleteRecursively()
+    Index.build(spark, sfDir, indexDir, params)
+  }
+  private lazy val engine: QueryEngine = { built; new QueryEngine(spark, indexDir) }
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select(col("docID").cast("long"), col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("rank-identity: indexed WAND == brute-force oracle (exact scores, every query)") {
+    built
+    for ((qid, qtext) <- Bm25.QuerySet) {
+      val oracle = collectTopK(Bm25.oracleTopKExact(spark, sfDir, qtext))
+      val indexed = collectTopK(engine.topK(qtext, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid '$qtext': docID ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+    }
+  }
+
+  test("rounded driver-contract output matches M0 oracle frame") {
+    built
+    val oracle = Bm25.oracleTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAll().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("cogroup (non-broadcast norms) path is identical") {
+    built
+    val cg = new QueryEngine(spark, indexDir, broadcastNormsUpTo = 0L)
+    for ((_, qtext) <- Bm25.QuerySet.take(4)) {
+      assert(collectTopK(cg.topK(qtext)) == collectTopK(engine.topK(qtext)))
+    }
+  }
+
+  test("empty query and absent term give empty results (AND semantics)") {
+    built
+    assert(engine.topK("").count() == 0)
+    assert(engine.topK("zzzzunknown").count() == 0)
+    assert(engine.topK("window zzzzunknown").count() == 0)
+  }
+
+  test("salting: heavy terms split into multiple range-disjoint segments") {
+    built
+    import spark.implicits._
+    val segs = spark.read.parquet(s"$indexDir/postings")
+      .select(col("term"), col("minDoc"), col("maxDoc"), col("count"), col("df"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val salted = segs.filter(_._5 > params.saltThreshold)
+    assert(salted.nonEmpty, "expected df-skewed terms at this corpus")
+    val multi = salted.groupBy(_._1).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "salted terms should produce multiple segments")
+    // ranges disjoint per term
+    for ((t, ss) <- segs.groupBy(_._1)) {
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"term $t: overlapping segments $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("posting invariants: strictly increasing docIDs; Σcount == postings; Σtf == Σlen") {
+    built
+    import spark.implicits._
+    val all = spark.read.parquet(s"$indexDir/postings")
+      .select(col("term"), col("bucket"), col("df"), col("minDoc"),
+        col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
+        col("blockLastDoc"), col("blockMaxQ"),
+        col("blockDocOff"), col("blockTfOff"))
+      .as[PostingSegment].collect()
+    var totalPostings = 0L
+    var totalTf = 0L
+    for (s <- all) {
+      val ids = Codec.decodeDeltas(s.docBlob, s.count)
+      assert(ids.head == s.minDoc && ids.last == s.maxDoc)
+      ids.sliding(2).foreach {
+        case Array(a, b) => assert(a < b, s"term ${s.term}: non-increasing")
+        case _ =>
+      }
+      totalPostings += s.count
+      totalTf += Codec.decodeInts(s.tfBlob, s.count).sum
+    }
+    val tfRows = spark.read.parquet(s"$indexDir/tf")
+    assert(totalPostings == tfRows.count())
+    val sumLen = spark.read.parquet(s"$indexDir/docstats")
+      .agg(sum(col("len"))).head().getLong(0)
+    assert(totalTf == sumLen, "Σtf over postings must equal Σ doc lengths")
+  }
+
+  test("dictionary df == segment-count sums; bucketOf is log2-ranged") {
+    built
+    import spark.implicits._
+    val dict = Index.readDictionary(spark, indexDir).collect()
+    val segDf = spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("term")).agg(sum(col("count")).as("c"))
+      .as[(String, Long)].collect().toMap
+    for (d <- dict) {
+      assert(segDf(d.term) == d.df, s"term ${d.term}")
+      assert(d.bucket == Index.bucketOf(d.df, params.numBuckets))
+    }
+    assert(Index.bucketOf(1, 16) == 0)
+    assert(Index.bucketOf(2, 16) == 1)
+    assert(Index.bucketOf(3, 16) == 1)
+    assert(Index.bucketOf(1L << 40, 16) == 15)
+  }
+
+  test("lineage rows cover every stage with complete status") {
+    built
+    val stages = Index.readLineage(spark, indexDir)
+      .select("stage", "status").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    for (s <- Seq("tf", "docstats", "dictionary", "postings"))
+      assert(stages.contains((s, "complete")), s"missing lineage for $s")
+  }
+
+  test("resumable build: postings-only rebuild reuses earlier stages, identical results") {
+    built
+    val before = engine.topKAll().collect().map(_.toSeq).toSeq
+    val docstatsMarker = Paths.get(s"$indexDir/_done_docstats")
+    val mtime = Files.getLastModifiedTime(docstatsMarker)
+    // simulate a crash after dictionary: drop postings output + marker
+    Files.deleteIfExists(Paths.get(s"$indexDir/_done_postings"))
+    new Directory(new java.io.File(s"$indexDir/postings")).deleteRecursively()
+    Index.build(spark, sfDir, indexDir, params)
+    assert(Files.getLastModifiedTime(docstatsMarker) == mtime,
+      "completed stages must not be recomputed")
+    val after = new QueryEngine(spark, indexDir).topKAll().collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
+  test("per-row sha256 invariant vs source table (input_hint)") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docID"), sha2(col("text"), 256).as("sha"))
+    val eng = Corpus.docs(spark, sfDir)
+      .select(col("docID"), sha2(col("content"), 256).as("sha"))
+    assert(src.exceptAll(eng).count() == 0 && eng.exceptAll(src).count() == 0)
+  }
+}
