@@ -5,6 +5,7 @@ import graft.operators.Index.BuildParams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import scala.reflect.io.Directory
+import scala.sys.process._
 
 /** Benchmark main (driver contract; BASELINE.md).
   *
@@ -17,22 +18,20 @@ import scala.reflect.io.Directory
   * (sandbox stand-in for N vs 4N executors; no real cluster here) — and
   * reports throughput scaling efficiency = thr(4N) / (4 × thr(N)).
   *
+  * Each level runs in its OWN forked JVM (the spark-submit analogue):
+  * shared-JVM measurements conflate the levels through JIT state and GC
+  * history. Inside each child, a small un-replicated build warms JIT
+  * before the timed build.
+  *
   * Prints ONE JSON line. Env knobs:
   *   SPARK_GRAFT_SF_DIR   corpus dir       (default /root/testdata/sf0.1)
   *   SPARK_GRAFT_CPUS     main level 4N    (default 32)
   *   SPARK_GRAFT_SCALE_N  small level N    (default CPUS/4)
-  *   SPARK_GRAFT_REPL     corpus replication factor (default 20)
-  *   SPARK_GRAFT_SCALING  "0" to skip the N-level session (default on)
+  *   SPARK_GRAFT_REPL     corpus replication factor (default 200)
+  *   SPARK_GRAFT_MEM      child JVM heap   (default 24g)
+  *   SPARK_GRAFT_SCALING  "0" to skip the N-level child (default on)
   */
 object Bench {
-
-  final case class SessionResult(
-      docs: Long, buildSec: Double, docsPerSec: Double,
-      perQueryMs: Seq[(String, Double)], p50Ms: Double, p95Ms: Double)
-
-  private def pct(sorted: Seq[Double], p: Double): Double =
-    if (sorted.isEmpty) 0.0
-    else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
 
   private def newSession(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -43,7 +42,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -66,21 +64,30 @@ object Bench {
     out
   }
 
-  private def runLevel(cpus: Int, corpusDir: String, reps: Int = 3): SessionResult = {
+  // ------------------------------------------------------------- child
+
+  /** One parallelism level, inside its own JVM: JIT-warmup build on the
+    * small raw corpus, then the timed build + query passes. Prints one
+    * JSON line consumed by the orchestrator. */
+  private def childMain(cpus: Int, corpusDir: String, warmDir: String): Unit = {
     val spark = newSession(cpus)
+    val params = BuildParams(partitions = math.max(4 * cpus, 32))
+    // JIT warmup: full code path on the un-replicated corpus
+    val warmIdx = s"/tmp/graft/bench_warm_c$cpus"
+    new Directory(new java.io.File(warmIdx)).deleteRecursively()
+    Index.build(spark, warmDir, warmIdx, params)
+    new QueryEngine(spark, warmIdx).topK("hash join", rounded = true).collect()
+
     val indexDir = s"/tmp/graft/bench_index_c$cpus"
     new Directory(new java.io.File(indexDir)).deleteRecursively()
-    val params = BuildParams(partitions = math.max(4 * cpus, 32))
     val t0 = System.nanoTime()
     Index.build(spark, corpusDir, indexDir, params)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val docs = spark.read.parquet(s"$indexDir/docstats").count()
     val engine = new QueryEngine(spark, indexDir, numRanges = math.max(4 * cpus, 32))
-    // warmup pass (JIT + parquet footer caches), then `reps` timed passes;
-    // per query keep the median rep
     Bm25.QuerySet.foreach { case (_, q) => engine.topK(q, rounded = true).collect() }
     val perQuery = Bm25.QuerySet.map { case (qid, q) =>
-      val times = (0 until reps).map { _ =>
+      val times = (0 until 3).map { _ =>
         val s = System.nanoTime()
         engine.topK(q, rounded = true).collect()
         (System.nanoTime() - s) / 1e6
@@ -89,31 +96,77 @@ object Bench {
     }
     spark.stop()
     val lat = perQuery.map(_._2).sorted
-    SessionResult(docs, buildSec, docs / buildSec, perQuery,
-      pct(lat, 0.50), pct(lat, 0.95))
+    def pct(p: Double) =
+      lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
+    val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
+    println(
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},"queries":$qs}""")
   }
 
+  /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
+  private def runChild(cpus: Int, corpusDir: String, warmDir: String,
+                       mem: String): Map[String, String] = {
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val java = s"${sys.props("java.home")}/bin/java"
+    val cmd = Seq(java, s"-Xmx$mem", "-Dspark.ui.enabled=false") ++ opens ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench",
+        "--level", cpus.toString, "--corpus", corpusDir, "--warm", warmDir)
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(
+      line => { if (line.startsWith("GRAFT_CHILD")) out.append(line.drop("GRAFT_CHILD".length)) },
+      _ => ()))
+    require(code == 0 && out.nonEmpty, s"bench child (cpus=$cpus) failed")
+    // minimal flat-JSON field extraction (values numeric or nested queries)
+    val json = out.toString
+    val fields = """"(\w+)":([-0-9.E]+)""".r
+    fields.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap +
+      ("queries" -> json.substring(json.indexOf("\"queries\":") + 10).stripSuffix("}"))
+  }
+
+  // -------------------------------------------------------------- main
+
   def main(args: Array[String]): Unit = {
+    args.sliding(2, 2).toSeq match {
+      case s if s.exists(_.headOption.contains("--level")) =>
+        val m = args.sliding(2, 2).map { case Array(k, v) => k -> v }.toMap
+        childMain(m("--level").toInt, m("--corpus"), m("--warm"))
+        return
+      case _ =>
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", (cpus / 4).max(1).toString).toInt
-    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "20").toInt
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "200").toInt
+    val mem = sys.env.getOrElse("SPARK_GRAFT_MEM", "24g")
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     val corpusDir = prepareCorpus(sfDir, repl)
-    // N first (also serves as JIT warmup for the 4N run — bias noted in
-    // BENCH.md; the warmup query pass inside each level evens query JIT)
-    val small = if (scaling) Some(runLevel(scaleN, corpusDir)) else None
-    val main = runLevel(cpus, corpusDir)
+    val small = if (scaling) Some(runChild(scaleN, corpusDir, sfDir, mem)) else None
+    val main = runChild(cpus, corpusDir, sfDir, mem)
 
-    val qs = main.perQueryMs
-      .map { case (k, ms) => s""""$k":${ms / 1e3}""" }.mkString("{", ",", "}")
-    val totalSec = main.buildSec + main.perQueryMs.map(_._2).sum / 1e3
+    val buildSec = main("build_sec").toDouble
+    val docsPerSec = main("docs_per_sec").toDouble
+    val p50 = main("p50_ms").toDouble
+    val p95 = main("p95_ms").toDouble
+    val docs = main("docs").toDouble.toLong
+    // "queries" values in seconds for the driver contract
+    val qSec = """"(q\d+)":([0-9.E]+)""".r.findAllMatchIn(main("queries"))
+      .map(m => s""""${m.group(1)}":${m.group(2).toDouble / 1e3}""").mkString("{", ",", "}")
+    val totalSec = buildSec + p50 * Bm25.QuerySet.size / 1e3
     val scalingJson = small.map { s =>
-      val eff = main.docsPerSec / (s.docsPerSec * (cpus.toDouble / scaleN))
-      f""","scaling":{"n_cpus":$scaleN,"n4_cpus":$cpus,"docs":${s.docs},"build_sec_n":${s.buildSec}%.3f,"build_sec_4n":${main.buildSec}%.3f,"docs_per_sec_n":${s.docsPerSec}%.1f,"docs_per_sec_4n":${main.docsPerSec}%.1f,"efficiency":$eff%.3f,"query_p50_ms_n":${s.p50Ms}%.1f,"query_p50_ms_4n":${main.p50Ms}%.1f}"""
+      val nThr = s("docs_per_sec").toDouble
+      val eff = docsPerSec / (nThr * (cpus.toDouble / scaleN))
+      f""","scaling":{"n_cpus":$scaleN,"n4_cpus":$cpus,"build_sec_n":${s("build_sec").toDouble}%.3f,"build_sec_4n":$buildSec%.3f,"docs_per_sec_n":$nThr%.1f,"docs_per_sec_4n":$docsPerSec%.1f,"efficiency":$eff%.3f,"query_p50_ms_n":${s("p50_ms").toDouble}%.1f,"query_p50_ms_4n":$p50%.1f}"""
     }.getOrElse("")
     println(
-      s"""{"metric":"index-build docs/sec + BM25 query p50/p95 (indexed engine)","value":$totalSec,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":${main.docs},"replicate":$repl,"build_sec":${main.buildSec},"build_docs_per_sec":${main.docsPerSec},"query_p50_ms":${main.p50Ms},"query_p95_ms":${main.p95Ms}$scalingJson}""")
+      s"""{"metric":"index-build docs/sec + BM25 query p50/p95 (indexed engine)","value":$totalSec,"unit":"sec","queries":$qSec,"sf":"$sfDir","docs":$docs,"replicate":$repl,"build_sec":$buildSec,"build_docs_per_sec":$docsPerSec,"query_p50_ms":$p50,"query_p95_ms":$p95$scalingJson}""")
   }
 }

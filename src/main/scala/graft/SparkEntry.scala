@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Index, QueryEngine, SubstringSearch}
+import graft.operators.{Bm25, Crawl, Dedup, Index, Media, QueryEngine, Similarity, SubstringSearch, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,33 @@ object SparkEntry {
 
     // -- reference LIKE-substring parity (SURVEY §2.4 P8 / §2.7 O3)
     "substring_search" -> ((s, dir) => SubstringSearch.searchAll(s, dir)),
+
+    // -- training-data pipeline: deduplication family
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.bruteJaccard(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshDedup(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+
+    // -- similarity search over embeddings
+    "ann_cosine_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+
+    // -- text analysis
+    "token_stats" -> ((s, dir) => TextStats.tokenStats(s, dir)),
+    "quality_score" -> ((s, dir) => TextStats.qualityScore(s, dir)),
+    "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
+    "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
+
+    // -- multimodal plumbing (decode stubbed; schema/batch shape real)
+    "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
+
+    // -- crawl-parity surface (SURVEY §2.3 F1/F5/F6, §2.7 O2, §3.1)
+    "url_normalize" -> ((s, dir) => Crawl.urlNormalize(s, dir)),
+    "url_priority" -> ((s, dir) => Crawl.urlPriority(s, dir)),
+    "extract_text" -> ((s, dir) => Crawl.extractTextParity(s, dir)),
+    "extract_links" -> ((s, dir) => Crawl.extractLinksParity(s, dir)),
+    "crawl_order" -> ((s, dir) => Crawl.crawlOrder(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +136,25 @@ object SparkEntry {
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
 
     "substring_search" -> SubstringSearch.oracleSql,
+
+    "dedup_exact" -> Dedup.exactDedupSql,
+    "dedup_ngram_jaccard" -> Dedup.jaccardSql(),
+    // LSH+verify must reproduce the brute-force contract exactly
+    "dedup_minhash_lsh" -> Dedup.jaccardSql(),
+    "dedup_embedding" -> Dedup.embeddingNearDupSql(),
+    "ann_cosine_topk" -> Similarity.bruteTopKSql(),
+    "token_stats" -> TextStats.tokenStatsSql,
+    "quality_score" -> TextStats.qualityScoreSql,
+    "lang_id" -> TextStats.langIdNbSql,
+    "media_features" -> Media.mediaFeaturesSql,
+    "url_normalize" -> Crawl.urlNormalizeSql,
+    "url_priority" -> Crawl.urlPrioritySql,
+    "extract_text" -> Crawl.extractTextSql,
+    "extract_links" -> Crawl.extractLinksSql,
+    // dedup_simhash / ann_lsh_topk / doc_fingerprints / crawl_order:
+    // hash-defined or iterative semantics not expressible in DuckDB SQL
+    // → rows-only check; their correctness gates are the Spark-side
+    // tests (banded == brute, LSH recall, winnowing cases, crawl
+    // budget/dedup/robots invariants).
   )
 }

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Corpus
+import graft.functions.Analyzer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline tier:
+  * exact (content-hash groupBy), word-shingle Jaccard (brute-force
+  * oracle), MinHash+LSH (the 100 TB-scale path for the same contract),
+  * SimHash banded near-dup, and embedding-cosine near-dup.
+  *
+  * The reference's only dedup is URL-level insert-time uniqueness
+  * (reference `src/database/database.cpp:34` UNIQUE constraint +
+  * existence probe `crawler.cpp:507-519`); content-level dedup is part of
+  * the capability upgrade.
+  *
+  * Scale notes (100 TB):
+  *   - exactDedup: one hash-partitioned groupBy on sha256 — linear, no
+  *     skew (crypto-hash keys are uniform).
+  *   - bruteJaccard: O(pairs-sharing-a-shingle) self-join — correct but
+  *     quadratic on hot shingles; kept ONLY as the small-scale oracle.
+  *   - minhashLsh: signatures via 128 columnar min-aggs (partial-agg
+  *     friendly, one shuffle), banded bucket join → candidates ∝ true
+  *     near-dups, then exact verify on candidates. This is the operator
+  *     you run at scale; it must (and, tested, does) reproduce
+  *     bruteJaccard exactly on the fixture corpora.
+  *   - simhash: 64-bit signature via 64 columnar sums, 4×16-bit band
+  *     equi-join (hamming ≤ 3 ⇒ ≥1 band equal) instead of a cross join.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val JaccardTau = 0.8
+  val NumHashes = 128
+  val Bands = 32 // × rows-per-band 4
+  val SimhashBits = 64
+  val SimhashMaxHamming = 3
+  val CosineTau = 0.45 // calibrated: corpus near-dup pairs ≥0.46, rest <0.45
+
+  /** Distinct word-ShingleSize-grams per doc, space-joined. Docs with
+    * fewer than ShingleSize tokens have no shingles (excluded). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val toks = Analyzer.tokensCol(col("content"))
+    docs.select(col("docID"), toks.as("toks"))
+      .withColumn("shingle",
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - ShingleSize),
+          i => concat_ws(" ", (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .filter(size(col("toks")) >= ShingleSize)
+      .select(col("docID"), col("shingle"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------ exact
+
+  /** (docID, content_sha, rep_docID, is_dup): every row keyed to its
+    * exact-duplicate group representative (min docID per sha256). */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Corpus.docs(spark, sfDir)
+      .select(col("docID"), sha2(col("content"), 256).as("content_sha"))
+    val reps = docs.groupBy(col("content_sha"))
+      .agg(min(col("docID")).as("rep_docID"))
+    docs.join(reps, "content_sha")
+      .select(col("docID"), col("content_sha"), col("rep_docID"),
+        (col("docID") =!= col("rep_docID")).as("is_dup"))
+      .orderBy(col("docID"))
+  }
+
+  def exactDedupSql: String =
+    """WITH d AS (SELECT doc_id AS docID, sha256(text) AS content_sha FROM documents),
+      |r AS (SELECT content_sha, min(docID) AS rep_docID FROM d GROUP BY 1)
+      |SELECT docID, content_sha, rep_docID, docID <> rep_docID AS is_dup
+      |FROM d JOIN r USING (content_sha) ORDER BY docID""".stripMargin
+
+  // ----------------------------------------------- brute-force Jaccard
+
+  /** All pairs with shingle-set Jaccard ≥ tau: (docA, docB, jaccard)
+    * rounded to 4 decimals, docA < docB, ordered. Small-scale oracle. */
+  def bruteJaccard(spark: SparkSession, sfDir: String, tau: Double = JaccardTau): DataFrame = {
+    val sh = shingles(Corpus.docs(spark, sfDir)).cache()
+    val sizes = sh.groupBy(col("docID")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.docID") < col("b.docID"))
+      .groupBy(col("a.docID").as("docA"), col("b.docID").as("docB"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("docID", "docA").withColumnRenamed("sz", "szA"), "docA")
+      .join(sizes.withColumnRenamed("docID", "docB").withColumnRenamed("sz", "szB"), "docB")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("szA") + col("szB") - col("inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("docA"), col("docB"), col("jaccard"))
+      .orderBy(col("docA"), col("docB"))
+  }
+
+  def jaccardSql(tau: Double = JaccardTau): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id AS docID,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT docID, unnest(list_distinct(list_transform(
+       |           range(len(toks) - ${ShingleSize - 1}),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+       |  FROM tok WHERE len(toks) >= $ShingleSize
+       |), sz AS (SELECT docID, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.docID AS docA, b.docID AS docB, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docID < b.docID
+       |  GROUP BY 1, 2
+       |)
+       |SELECT docA, docB,
+       |       round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 4) AS jaccard
+       |FROM inter JOIN sz za ON za.docID = docA JOIN sz zb ON zb.docID = docB
+       |WHERE round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 4) >= $tau
+       |ORDER BY docA, docB""".stripMargin
+
+  // --------------------------------------------------- MinHash + LSH
+
+  /** MinHash signatures: NumHashes columnar min-aggregations over
+    * xxhash64(seed_i, shingle) — map-side partial agg, one shuffle. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins: Seq[Column] =
+      (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("docID")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band hash = xxhash64 over the band's rows;
+    * equal band → candidate. Bands×rows = NumHashes. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val parts: Seq[Column] = lit(b) +: (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("docID"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("docID"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.docID") < col("b.docID"))
+      .select(col("a.docID").as("docA"), col("b.docID").as("docB"))
+      .distinct()
+  }
+
+  /** The scale path: LSH candidates → exact Jaccard verify ≥ tau. Output
+    * contract identical to [[bruteJaccard]] (and tested equal on the
+    * fixtures — recall of 32×4 banding at τ=0.8 is 1 − (1−0.8⁴)³²
+    * ≈ 1 − 5·10⁻⁸ per pair). */
+  def minhashLshDedup(spark: SparkSession, sfDir: String, tau: Double = JaccardTau): DataFrame = {
+    val sh = shingles(Corpus.docs(spark, sfDir)).cache()
+    val cands = lshCandidates(minhashSignatures(sh))
+    val sets = sh.groupBy(col("docID")).agg(collect_set(col("shingle")).as("set"))
+    cands
+      .join(sets.select(col("docID").as("docA"), col("set").as("setA")), "docA")
+      .join(sets.select(col("docID").as("docB"), col("set").as("setB")), "docB")
+      .withColumn("inter", size(array_intersect(col("setA"), col("setB"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("setA")) + size(col("setB")) - col("inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("docA"), col("docB"), col("jaccard"))
+      .orderBy(col("docA"), col("docB"))
+  }
+
+  // --------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: bit j set iff Σ_terms tf·(±1 by bit j of
+    * xxhash64(term)) > 0. Columnar: 64 conditional sums, one shuffle. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = Bm25.termFreq(docs) // (docID, term, tf)
+      .withColumn("th", xxhash64(col("term")))
+    val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j")
+    }
+    val sums = tf.groupBy(col("docID")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("docID"), sig.as("sig"))
+  }
+
+  /** Near-dup pairs with hamming(sigA, sigB) ≤ maxHamming via 4×16-bit
+    * band equi-join (any pair within hamming 3 shares ≥1 exact band —
+    * pigeonhole), avoiding the O(N²) cross join. */
+  def simhashDedup(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val sigs = simhashSignatures(Corpus.docs(spark, sfDir)).cache()
+    val nBands = maxHamming + 1 // pigeonhole: h ≤ 3 ⇒ one of 4 bands equal
+    val width = SimhashBits / nBands
+    val banded = sigs.select(col("docID"), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width)
+            .bitwiseAND((1L << width) - 1).as("bh"))): _*)).as("bb"))
+      .select(col("docID"), col("sig"), col("bb.band"), col("bb.bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.docID") < col("b.docID"))
+      .select(col("a.docID").as("docA"), col("b.docID").as("docB"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("docA"), col("docB"))
+  }
+
+  /** Oracle-free cross-join reference for tests (small scale only). */
+  def simhashBrute(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val sigs = simhashSignatures(Corpus.docs(spark, sfDir))
+    sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.docID") < col("b.docID"))
+      .select(col("a.docID").as("docA"), col("b.docID").as("docB"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("docA"), col("docB"))
+  }
+
+  // ---------------------------------------------- embedding near-dup
+
+  /** Double-precision cosine between two float-array columns. */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ tau (vecA < vecB). Brute pairwise
+    * at test scale; the ANN operators in Similarity are the scale path. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String, tau: Double = CosineTau): DataFrame = {
+    val e = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosineCol(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("vecA"), col("b.vec_id").as("vecB"), col("cos"))
+      .orderBy(col("vecA"), col("vecB"))
+  }
+
+  def embeddingNearDupSql(tau: Double = CosineTau): String =
+    s"""SELECT a.vec_id AS vecA, b.vec_id AS vecB,
+       |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |             CAST(b.embedding AS DOUBLE[])), 4) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |      CAST(b.embedding AS DOUBLE[])), 4) >= $tau
+       |ORDER BY vecA, vecB""".stripMargin
+}

@@ -73,6 +73,15 @@ object Index {
   private def done(indexDir: String, stage: String): Boolean =
     Files.exists(Paths.get(s"$indexDir/_done_$stage"))
 
+  /** Optional stage-timing diagnostics (GRAFT_STAGE_LOG=1). */
+  private def timed[T](stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_STAGE_LOG").contains("1"))
+      System.err.println(f"[graft] stage $stage%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   private def mark(indexDir: String, stage: String): Unit =
     Files.write(Paths.get(s"$indexDir/_done_$stage"), Array.emptyByteArray)
 
@@ -89,7 +98,7 @@ object Index {
     Files.createDirectories(Paths.get(indexDir))
 
     // -- stage 1: term frequencies (one shuffle: partial+final hash agg)
-    if (!done(indexDir, "tf")) {
+    if (!done(indexDir, "tf")) timed("tf") {
       val docs = Corpus.docs(spark, sfDir)
       Bm25.termFreq(docs)
         .repartition(p.partitions, col("term"))
@@ -106,7 +115,7 @@ object Index {
     val tf = spark.read.parquet(s"$indexDir/tf")
 
     // -- stage 2: doc lengths + corpus stats
-    if (!done(indexDir, "docstats")) {
+    if (!done(indexDir, "docstats")) timed("docstats") {
       Bm25.docLengths(tf)
         .repartitionByRange(p.partitions, col("docID"))
         .sortWithinPartitions(col("docID"))
@@ -130,7 +139,7 @@ object Index {
 
     // -- stage 3: dictionary (term → df, bucket); term-sorted for
     //    row-group min/max pruning on query-term lookups
-    if (!done(indexDir, "dictionary")) {
+    if (!done(indexDir, "dictionary")) timed("dictionary") {
       val nb = p.numBuckets
       Bm25.docFreq(tf).as[(String, Long)]
         .map { case (term, df) => DictEntry(term, df, bucketOf(df, nb)) }
@@ -148,7 +157,7 @@ object Index {
     }
 
     // -- stage 4: salted repartition → per-partition merge-sort → encode
-    if (!done(indexDir, "postings")) {
+    if (!done(indexDir, "postings")) timed("postings") {
       val stats = spark.read.parquet(s"$indexDir/stats").as[CorpusStat].head()
       val avgdl = stats.avgdl
       val dict = spark.read.parquet(s"$indexDir/dictionary")

@@ -224,14 +224,24 @@ final class QueryEngine(
     spark: SparkSession,
     indexDir: String,
     numRanges: Int = 32,
-    broadcastNormsUpTo: Long = 4_000_000L) extends Serializable {
+    broadcastNormsUpTo: Long = 4_000_000L,
+    dictCacheUpTo: Long = 1_000_000L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
 
   val stats: CorpusStat = Index.readStats(spark, indexDir)
-  private val rangeSize: Long = math.max(1L, (stats.maxDoc + numRanges) / numRanges)
   private val useBroadcastNorms = stats.n <= broadcastNormsUpTo.toDouble
+
+  /** Small-vocab path: the whole dictionary pinned on the driver (a
+    * search service keeps its term dictionary in memory). Vocabulary
+    * grows ~log(corpus), so this holds far beyond sandbox scale; above
+    * the cap, lookups fall back to the term-pruned dictionary scan. */
+  private val dictCache: Option[Map[String, DictEntry]] = {
+    val d = Index.readDictionary(spark, indexDir)
+    if (d.count() <= dictCacheUpTo) Some(d.collect().map(e => e.term -> e).toMap)
+    else None
+  }
 
   /** Small-corpus path: norms as a broadcast primitive-friendly map. */
   private val normsBc =
@@ -241,15 +251,13 @@ final class QueryEngine(
       Some(spark.sparkContext.broadcast(m))
     } else None
 
-  /** Large-corpus path: norms keyed by rangeId for cogroup. */
-  private lazy val normsByRange =
-    Index.readDocStats(spark, indexDir)
-      .groupByKey(d => (d.docID / rangeSize).toInt)
-
-  private def lookupTerms(terms: Seq[String]): Seq[DictEntry] =
-    Index.readDictionary(spark, indexDir)
-      .filter(col("term").isin(terms: _*))
-      .collect().toSeq
+  private def lookupTerms(terms: Seq[String]): Seq[DictEntry] = dictCache match {
+    case Some(m) => terms.flatMap(m.get)
+    case None =>
+      Index.readDictionary(spark, indexDir)
+        .filter(col("term").isin(terms: _*))
+        .collect().toSeq
+  }
 
   /** Top-k (docID, score) for a query string; AND semantics; empty
     * result if any term is absent (or the query has no terms). Score is
@@ -267,7 +275,12 @@ final class QueryEngine(
     val termCtx = dict.map(d => TermCtx(d.term, d.df, Bm25.idf(n, d.df)))
       .sortBy(_.term).toArray
     val buckets = dict.map(_.bucket).distinct
-    val rs = rangeSize
+    // shard the docID space ∝ posting volume (~100k postings per task,
+    // capped at numRanges): a rare-term query runs in one task with no
+    // fan-out, a stop-word query spreads across the cluster
+    val ranges = math.max(1L,
+      math.min(numRanges.toLong, dict.map(_.df).sum / 100_000L + 1)).toInt
+    val rs = math.max(1L, (stats.maxDoc + ranges) / ranges)
     val kk = k
     val rnd = rounded
 
@@ -289,6 +302,8 @@ final class QueryEngine(
             .iterator
         }
       case None =>
+        val normsByRange = Index.readDocStats(spark, indexDir)
+          .groupByKey(d => (d.docID / rs).toInt)
         ranged.groupByKey(_.rangeId).cogroup(normsByRange) { (rid, segIt, dsIt) =>
           val byTerm = segIt.map(_.seg).toArray.groupBy(_.term)
             .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }

@@ -1,0 +1,148 @@
+package graft
+
+import graft.functions.{Html, UrlFunctions => U}
+import graft.operators.Crawl
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity tests for the reference's URL/HTML/robots scalar surface —
+  * fixture values hand-derived from the C++ semantics (including its
+  * quirks, which we replicate deliberately). */
+class CrawlParitySpec extends AnyFunSuite {
+
+  test("normalize_url: scheme fixup, lowercase, fragment, collapse quirk") {
+    // the // collapse has no scheme exception → single slash after scheme
+    assert(U.normalizeUrl("HTTP://Example.com/A//B") == "http:/example.com/a/b")
+    // idempotent thanks to the http:/ fixup at entry
+    assert(U.normalizeUrl("http:/example.com/a/b") == "http:/example.com/a/b")
+    // schemeless → prepend http://
+    assert(U.normalizeUrl("example.com/x") == "http:/example.com/x")
+    // fragment stripped
+    assert(U.normalizeUrl("http://a.com/p#frag") == "http:/a.com/p")
+    // root trailing slash popped (only slash from index 8)
+    assert(U.normalizeUrl("http://a.com/") == "http:/a.com")
+    // deeper trailing slash kept (two slashes from index 8)
+    assert(U.normalizeUrl("http://a.com/x/") == "http:/a.com/x/")
+    // index file stripped, slash restored
+    assert(U.normalizeUrl("http://a.com/index.html") == "http:/a.com/")
+    assert(U.normalizeUrl("http://a.com/sub/index.php") == "http:/a.com/sub/")
+    assert(U.normalizeUrl("http://a.com/default.html") == "http:/a.com/")
+    // https variant of the single-slash fixup
+    assert(U.normalizeUrl("https:/b.org/x") == "https:/b.org/x")
+  }
+
+  test("make_absolute_url: absolute, scheme-relative, root-relative quirk, sibling") {
+    assert(U.makeAbsoluteUrl("http://a.com/x/y.html", "http://B.com/Z") == "http:/b.com/z")
+    assert(U.makeAbsoluteUrl("https://a.com/x", "//cdn.com/f.js") == "https:/cdn.com/f.js")
+    // sibling resolution into the base directory
+    assert(U.makeAbsoluteUrl("http://a.com/dir/page.html", "other.html")
+      == "http:/a.com/dir/other.html")
+    // root-relative hits the reference quirk: the normalized base has a
+    // single-slash scheme, "://" is not found, so the path is APPENDED
+    assert(U.makeAbsoluteUrl("http://a.com/dir/page.html", "/root.html")
+      == "http:/a.com/dir/page.html/root.html")
+  }
+
+  test("extract_domain / is_same_domain") {
+    assert(U.extractDomain("http://www.Example.com:8080/x") == "Example.com")
+    assert(U.extractDomain("http:/foo.bar.com/x") == "foo.bar.com")
+    assert(U.extractDomain("") == "")
+    assert(U.isSameDomain("http://sub.a.com/x", "a.com"))
+    assert(U.isSameDomain("http://a.com/x", "a.com"))
+    assert(!U.isSameDomain("http://notacom.com/x", "a.com"))
+    assert(!U.isSameDomain("http://xa.com/x", "a.com")) // dot boundary required
+  }
+
+  test("url_contains_keyword: word boundaries are !isalnum") {
+    assert(U.urlContainsKeyword("http://a.com/about/x", "about"))
+    assert(U.urlContainsKeyword("http://a.com/x-about", "about"))
+    assert(!U.urlContainsKeyword("http://a.com/aboutus", "about"))
+    assert(!U.urlContainsKeyword("http://a.com/1about2", "about"))
+    assert(U.urlContainsKeyword("http://ABOUT.com", "about"))
+  }
+
+  test("priority: keyword product, root bonus, depth, .org-first domain score") {
+    // plain page, depth 0: kw 1.0 + depth 2.0 + domain 1.0
+    assert(U.priority("http://a.com/page", 0) == 1.0 + 2.0 + 1.0)
+    // root URL bonus ×1.5
+    assert(U.priority("http://a.com", 0) == 1.5 + 2.0 + 1.0)
+    // about keyword ×1.5 (not root: path present)
+    assert(U.priority("http://a.com/about", 0) == 1.5 + 2.0 + 1.0)
+    // .org checked before .gov → 1.2 even though .gov appears
+    assert(U.domainScore("http://x.org.gov/a") == 1.2)
+    assert(U.domainScore("http://x.gov/a") == 1.4)
+    // depth floor
+    assert(U.depthScore(100) == 0.1)
+    assert(U.depthScore(1) == 1.0)
+  }
+
+  test("robots: parse, glob matching, allow-first precedence") {
+    val rules = U.parseRobots(
+      """User-agent: *
+        |Disallow: /private/ # comment
+        |Allow: /private/ok.html
+        |Crawl-delay: 2
+        |
+        |User-agent: special
+        |Disallow: /*.pdf
+        |""".stripMargin)
+    assert(rules("*").disallow == Seq("/private/"))
+    assert(rules("*").allow == Seq("/private/ok.html"))
+    assert(rules("*").crawlDelay == 2)
+    // allow wins before disallow
+    assert(U.isAllowed(rules, "*", "http://a.com/private/ok.html"))
+    assert(!U.isAllowed(rules, "*", "http://a.com/private/no.html"))
+    assert(U.isAllowed(rules, "*", "http://a.com/public"))
+    // agent-specific rules take precedence over *
+    assert(!U.isAllowed(rules, "special", "http://a.com/docs/x.pdf"))
+    assert(U.isAllowed(rules, "special", "http://a.com/private/no.html"))
+    // glob semantics
+    assert(U.matchesPattern("/a/b.pdf", "/*.pdf"))
+    assert(!U.matchesPattern("/a/b.pdfx", "/*.pdf")) // trailing x unmatched
+    assert(U.matchesPattern("/a/b.pdfx", "/*.pdf*"))
+    // '?' is only active when the pattern contains '*' (no-star patterns
+    // are literal prefixes — robots_parser.cpp:207-209)
+    assert(!U.matchesPattern("/tmp1", "/tmp?"))
+    assert(U.matchesPattern("/tmp1/a", "/tmp?/*"))
+    assert(U.matchesPattern("/anything", "/")) // prefix when no star
+    // absent rules → allow
+    assert(U.isAllowed(Map.empty, "*", "http://a.com/x"))
+  }
+
+  test("extract_links: quoted hrefs only, junk filtered, absolutized, deduped") {
+    val html =
+      """<a href="a.html">x</a> <a href='b.html'>y</a> <a href=c.html>unquoted</a>
+        |<a href="#frag">f</a> <a href="javascript:void(0)">j</a>
+        |<a href="mailto:a@b">m</a> <a href="a.html">dup</a> <a no-href>n</a>""".stripMargin
+    val links = Html.extractLinks(html, "http://s.com/dir/page.html")
+    assert(links == Seq("http:/s.com/dir/a.html", "http:/s.com/dir/b.html"))
+    // without base: raw hrefs
+    assert(Html.extractLinks("""<a href="x.html">""", "") == Seq("x.html"))
+  }
+
+  test("extract_text: tags → spaces, script/style dropped, whitespace collapsed") {
+    val html = "<html><head><script>var   x;</script><style>.c{}</style></head>" +
+      "<body><h1>Title</h1><p>hello\t\n  world</p></body></html>"
+    assert(Html.extractText(html) == "Title hello world")
+    assert(Html.extractText("<p>  </p>") == "")
+    assert(Html.extractText("no tags  at\tall") == "no tags at all")
+    // case-insensitive script detection
+    assert(Html.extractText("<SCRIPT>secret</SCRIPT>visible") == "visible")
+  }
+
+  test("crawl: budget respected, no duplicates, robots-disallowed excluded, deterministic") {
+    val spark = SparkFixture.spark
+    val out1 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()
+    assert(out1.length <= Crawl.MaxLinks)
+    assert(out1.length > Crawl.Batch, "crawl should progress past the seed wave")
+    val urls = out1.map(_.getAs[String]("url"))
+    assert(urls.distinct.length == urls.length, "visited set must dedup")
+    assert(!urls.exists(_.contains("/private/")), "robots must exclude /private/")
+    assert(urls.forall(_.startsWith("http:/")), "all URLs normalized")
+    // seeds first: wave 0 is all roots at priority 10
+    val wave0 = out1.filter(_.getAs[Int]("wave") == 0)
+    assert(wave0.forall(r => r.getAs[Double]("priority") == 10.0))
+    // determinism
+    val out2 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()
+    assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
+}

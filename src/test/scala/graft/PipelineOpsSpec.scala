@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Dedup, Media, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.Sf0001
+
+  test("exact dedup: reps are group minima; non-dup corpus maps to itself") {
+    val out = Dedup.exactDedup(spark, dir).collect()
+    assert(out.length == 500)
+    // the fixture corpus has all-distinct texts → everyone is its own rep
+    assert(out.forall(r => !r.getAs[Boolean]("is_dup")))
+  }
+
+  test("minhash+LSH reproduces brute-force jaccard pairs exactly") {
+    val brute = Dedup.bruteJaccard(spark, dir).collect().map(_.toSeq).toSeq
+    val lsh = Dedup.minhashLshDedup(spark, dir).collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty, "fixture corpus should contain planted near-dups")
+    assert(lsh == brute)
+  }
+
+  test("jaccard pairs are symmetric-free (docA < docB) and above tau") {
+    val rows = Dedup.bruteJaccard(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= Dedup.JaccardTau))
+  }
+
+  test("simhash banded join == brute-force cross join") {
+    val banded = Dedup.simhashDedup(spark, dir).collect().map(_.toSeq).toSeq
+    val brute = Dedup.simhashBrute(spark, dir).collect().map(_.toSeq).toSeq
+    assert(banded == brute)
+    assert(brute.nonEmpty, "near-dup docs should land within hamming 3")
+  }
+
+  test("embedding near-dup pairs respect the cosine threshold") {
+    val rows = Dedup.embeddingNearDup(spark, dir).collect()
+    assert(rows.forall(_.getDouble(2) >= Dedup.CosineTau))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("ann brute top-k: k rows per query, self excluded, descending") {
+    val rows = Similarity.bruteTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Similarity.QueryIds.toSet)
+    for ((q, rs) <- byQ) {
+      assert(rs.length == Similarity.K)
+      assert(rs.forall(_.getLong(2) != q))
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"query $q not descending: $cs")
+    }
+  }
+
+  test("ann LSH top-k: measured recall vs brute force on the fixture") {
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"ANN LSH recall@10 on sf0.001: $recall%.2f")
+    assert(recall >= 0.3, s"implausibly low LSH recall: $recall")
+  }
+
+  test("token stats: alnum tokens >= ws tokens never holds trivially; counts positive") {
+    val rows = TextStats.tokenStats(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val rows = TextStats.qualityScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val q = r.getDouble(4); q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("lang id: one prediction per doc, from the label set") {
+    val out = TextStats.langIdNb(spark, dir)
+    val langs = Corpus.docs(spark, dir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(0)).distinct.length == 500)
+    assert(rows.forall(r => langs.contains(r.getString(1))))
+  }
+
+  test("winnowing: local edits far from a region keep shared fingerprints") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
+    val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end
+    val fa = TextStats.winnow(a).toSet
+    val fb = TextStats.winnow(b).toSet
+    assert((fa & fb).nonEmpty, "prefix fingerprints must survive a distant edit")
+    assert(fa != fb, "the edit must change at least one fingerprint")
+    // determinism
+    assert(TextStats.winnow(a).toSeq == TextStats.winnow(a).toSeq)
+    assert(TextStats.winnow(IndexedSeq.empty).isEmpty)
+    assert(TextStats.winnow(IndexedSeq("a", "b")).isEmpty) // < k tokens
+  }
+
+  test("media features: histogram sums to 1, metadata matches payload bytes") {
+    val rows = Media.mediaFeaturesDS(spark, dir).collect()
+    assert(rows.length == 500)
+    for (r <- rows.take(20)) {
+      assert(math.abs(r.hist.sum - 1.0) < 1e-9)
+      assert(r.n_bytes > 0 && r.format == "fake/raw")
+      assert(r.width == 16 + r.n_bytes % 64 && r.height == 16 + (r.n_bytes / 64) % 64)
+    }
+    // decode stub is the identity on bytes → histogram of doc 0 must match
+    // a driver-side reference computation
+    val doc0 = Corpus.docs(spark, dir).filter(col("docID") === 0)
+      .select("content").head().getString(0).getBytes("UTF-8")
+    val ref = new Array[Double](Media.HistBins)
+    doc0.foreach(b => ref((b & 0xff) * Media.HistBins / 256) += 1.0)
+    val expected = ref.map(_ / doc0.length)
+    val got = rows.find(_.docID == 0L).get.hist
+    assert(got.zip(expected).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+  }
+}
