@@ -76,7 +76,10 @@ object Bench {
     val warmIdx = s"/tmp/graft/bench_warm_c$cpus"
     new Directory(new java.io.File(warmIdx)).deleteRecursively()
     Index.build(spark, warmDir, warmIdx, params)
-    new QueryEngine(spark, warmIdx).topK("hash join", rounded = true).collect()
+    val warmEngine = new QueryEngine(spark, Seq(warmIdx))
+    warmEngine.topK("hash join", rounded = true).collect() // scan path, AND
+    warmEngine.topK("the", rounded = true).collect()       // heavy single term
+    warmEngine.topKOr("hash join", rounded = true).collect() // OR path
 
     val indexDir = s"/tmp/graft/bench_index_c$cpus"
     new Directory(new java.io.File(indexDir)).deleteRecursively()
@@ -84,7 +87,7 @@ object Bench {
     Index.build(spark, corpusDir, indexDir, params)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val docs = spark.read.parquet(s"$indexDir/docstats").count()
-    val engine = new QueryEngine(spark, indexDir, numRanges = math.max(4 * cpus, 32))
+    val engine = new QueryEngine(spark, Seq(indexDir), numRanges = math.max(4 * cpus, 32))
     Bm25.QuerySet.foreach { case (_, q) => engine.topK(q, rounded = true).collect() }
     val perQuery = Bm25.QuerySet.map { case (qid, q) =>
       val times = (0 until 3).map { _ =>
@@ -122,7 +125,7 @@ object Bench {
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(
       line => { if (line.startsWith("GRAFT_CHILD")) out.append(line.drop("GRAFT_CHILD".length)) },
-      _ => ()))
+      line => if (line.startsWith("[graft]")) System.err.println(s"[c$cpus]$line")))
     require(code == 0 && out.nonEmpty, s"bench child (cpus=$cpus) failed")
     // minimal flat-JSON field extraction (values numeric or nested queries)
     val json = out.toString

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Crawl, Dedup, Index, Media, QueryEngine, Similarity, SubstringSearch, TextStats}
+import graft.operators.{Bm25, Crawl, Dedup, Index, Media, Metrics, QueryEngine, Similarity, SubstringSearch, TextStats}
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +21,11 @@ object SparkEntry {
 
   /** Build (or resume) the inverted index for sfDir in a deterministic
     * scratch dir, then answer the whole query set through it. */
-  def indexedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def indexedTopK(spark: SparkSession, sfDir: String,
+                  orMode: Boolean = false): DataFrame = {
     val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir)
-    new QueryEngine(spark, indexDir).topKAll()
+    new QueryEngine(spark, Seq(indexDir)).topKAll(orMode = orMode)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -60,6 +62,10 @@ object SparkEntry {
     //    index + block-max WAND top-k; rank-identical to the oracle SQL
     "bm25_topk_indexed" -> ((s, dir) => indexedTopK(s, dir)),
 
+    // -- disjunctive (OR) BM25: brute-force oracle + WAND-pruned engine
+    "bm25_topk_or_oracle" -> ((s, dir) => Bm25.oracleTopKOr(s, dir)),
+    "bm25_topk_or_indexed" -> ((s, dir) => indexedTopK(s, dir, orMode = true)),
+
     // -- reference LIKE-substring parity (SURVEY §2.4 P8 / §2.7 O3)
     "substring_search" -> ((s, dir) => SubstringSearch.searchAll(s, dir)),
 
@@ -73,6 +79,7 @@ object SparkEntry {
     // -- similarity search over embeddings
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
 
     // -- text analysis
     "token_stats" -> ((s, dir) => TextStats.tokenStats(s, dir)),
@@ -82,6 +89,13 @@ object SparkEntry {
 
     // -- multimodal plumbing (decode stubbed; schema/batch shape real)
     "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
+
+    // -- event-stream analytics (Structured Streaming; SURVEY §2.10)
+    "events_windowed" -> ((s, dir) => Events.windowedCountsStreaming(s, dir)),
+    "events_sessions" -> ((s, dir) => Events.sessionsBatch(s, dir)),
+
+    // -- metrics rollup parity (SURVEY §2.6 A1/A2)
+    "metrics_rollup" -> ((s, dir) => Metrics.rollupMetrics(s, dir)),
 
     // -- crawl-parity surface (SURVEY §2.3 F1/F5/F6, §2.7 O2, §3.1)
     "url_normalize" -> ((s, dir) => Crawl.urlNormalize(s, dir)),
@@ -134,6 +148,8 @@ object SparkEntry {
     // the indexed engine must reproduce the very same frame the
     // brute-force SQL computes — that IS the rank-identity gate
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
+    "bm25_topk_or_oracle" -> Bm25.oracleSqlTopKOr(),
+    "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
 
     "substring_search" -> SubstringSearch.oracleSql,
 
@@ -147,6 +163,9 @@ object SparkEntry {
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,
     "media_features" -> Media.mediaFeaturesSql,
+    "events_windowed" -> Events.windowedSql,
+    "events_sessions" -> Events.sessionsSql,
+    "metrics_rollup" -> Metrics.rollupMetricsSql,
     "url_normalize" -> Crawl.urlNormalizeSql,
     "url_priority" -> Crawl.urlPrioritySql,
     "extract_text" -> Crawl.extractTextSql,

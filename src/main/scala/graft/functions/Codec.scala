@@ -17,7 +17,8 @@ import java.io.ByteArrayOutputStream
   *     independently decodable, enabling O(1) block skip for WAND.
   *   - tfBlob: plain varints.
   *   - block directory (kept as typed columns, not bytes, so Parquet
-  *     stats work): blockLastDoc, blockMaxQ, blockDocOff, blockTfOff.
+  *     stats work): blockLastDoc, blockMaxTf, blockMinLen, blockDocOff,
+  *     blockTfOff.
   */
 object Codec {
 
@@ -104,26 +105,31 @@ object Codec {
   // ------------------------------------------------------- block layout
 
   /** Encoded segment payload: blobs + block directory.
-    * maxQ(i) = max over block i of the BM25 length-normalized quotient
-    * (idf-free upper bound used by block-max WAND). */
+    * Per block i the directory keeps (maxTf, minLen): the block-max WAND
+    * upper bound is quotient(maxTf_i, minLen_i, avgdl), computed at QUERY
+    * time. The quotient is monotone increasing in tf and decreasing in
+    * len, so the bound is admissible for ANY avgdl — which keeps old
+    * segments valid when the corpus (and its avgdl) grows incrementally. */
   final case class Blocks(
       docBlob: Array[Byte],
       tfBlob: Array[Byte],
       blockLastDoc: Array[Long],
-      blockMaxQ: Array[Double],
+      blockMaxTf: Array[Long],
+      blockMinLen: Array[Long],
       blockDocOff: Array[Int],
       blockTfOff: Array[Int])
 
   /** Encode postings (parallel arrays, docIDs strictly increasing) into
-    * the restart-point block layout. `quotients(i)` is the per-posting
-    * idf-free BM25 quotient (see Bm25.contrib). */
-  def encodeBlocks(ids: Array[Long], tfs: Array[Long], quotients: Array[Double]): Blocks = {
+    * the restart-point block layout. `lens(i)` is the token length of the
+    * posting's document (for the per-block minLen bound). */
+  def encodeBlocks(ids: Array[Long], tfs: Array[Long], lens: Array[Long]): Blocks = {
     val n = ids.length
     val nBlocks = (n + BlockSize - 1) / BlockSize
     val docOut = new ByteArrayOutputStream(n * 2)
     val tfOut = new ByteArrayOutputStream(n)
     val lastDoc = new Array[Long](nBlocks)
-    val maxQ = new Array[Double](nBlocks)
+    val maxTf = new Array[Long](nBlocks)
+    val minLen = new Array[Long](nBlocks)
     val docOff = new Array[Int](nBlocks)
     val tfOff = new Array[Int](nBlocks)
     var b = 0
@@ -133,20 +139,23 @@ object Codec {
       docOff(b) = docOut.size()
       tfOff(b) = tfOut.size()
       var prev = 0L
-      var q = Double.NegativeInfinity
+      var mtf = 0L
+      var mlen = Long.MaxValue
       var i = start
       while (i < end) {
         writeVarLong(docOut, if (i == start) ids(i) else ids(i) - prev)
         prev = ids(i)
         writeVarLong(tfOut, tfs(i))
-        if (quotients(i) > q) q = quotients(i)
+        if (tfs(i) > mtf) mtf = tfs(i)
+        if (lens(i) < mlen) mlen = lens(i)
         i += 1
       }
       lastDoc(b) = ids(end - 1)
-      maxQ(b) = q
+      maxTf(b) = mtf
+      minLen(b) = mlen
       b += 1
     }
-    Blocks(docOut.toByteArray, tfOut.toByteArray, lastDoc, maxQ, docOff, tfOff)
+    Blocks(docOut.toByteArray, tfOut.toByteArray, lastDoc, maxTf, minLen, docOff, tfOff)
   }
 
   /** Decode one block (restart-point independent). Returns parallel

@@ -150,6 +150,44 @@ object Bm25 {
     perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }
 
+  /** Disjunctive (OR-semantics) brute-force top-k: docs matching ANY
+    * query term; absent-term contribution is an exact +0.0 in the same
+    * fixed ascending-term association (`coalesce` twin of the AND sum,
+    * bit-identical because x + 0.0 == x for finite non-negative x). */
+  def oracleTopKOr(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val score = terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
+      pivoted
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
   /** Exact-score variant for internal rank-identity tests (no rounding;
     * order by the exact score). */
   def oracleTopKExact(spark: SparkSession, sfDir: String, qtext: String,
@@ -177,6 +215,34 @@ object Bm25 {
     val score = terms.map(t => col(t)).reduce(_ + _)
     pivoted
       .filter(allPresent)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
+  /** Exact-score disjunctive variant for internal rank-identity tests. */
+  def oracleTopKOrExact(spark: SparkSession, sfDir: String, qtext: String,
+                        k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val terms  = Analyzer.queryTerms(qtext)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+    val pivoted = scored
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("docID"))
+      .pivot("term", terms)
+      .agg(first(col("contrib")))
+    val score = terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
+    pivoted
       .withColumn("score", score)
       .orderBy(col("score").desc, col("docID").asc)
       .limit(k)
@@ -227,6 +293,53 @@ object Bm25 {
          |    FROM scored WHERE term IN ($inList)
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleTopKOr]]: same CTEs, no HAVING gate, absent
+    * terms coalesce to 0.0 in the same fixed-order sum. A query whose
+    * terms all miss the corpus (q05) matches no scored rows → empty. */
+  def oracleSqlTopKOr(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN contrib END), 0.0) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)
+         |    GROUP BY docID
          |  )
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")

@@ -41,12 +41,14 @@ object Index {
       term: String, bucket: Int, df: Long,
       minDoc: Long, maxDoc: Long, count: Int,
       docBlob: Array[Byte], tfBlob: Array[Byte],
-      blockLastDoc: Array[Long], blockMaxQ: Array[Double],
+      blockLastDoc: Array[Long], blockMaxTf: Array[Long],
+      blockMinLen: Array[Long],
       blockDocOff: Array[Int], blockTfOff: Array[Int])
 
   final case class DocStat(docID: Long, len: Long)
   final case class DictEntry(term: String, df: Long, bucket: Int)
-  final case class CorpusStat(n: Double, avgdl: Double, maxDoc: Long)
+  final case class CorpusStat(n: Double, avgdl: Double, maxDoc: Long,
+                              minDoc: Long, sumLen: Long)
   final case class LineageRow(stage: String, partitionId: Int,
                               rowCount: Long, tokenCount: Long, status: String)
 
@@ -59,7 +61,12 @@ object Index {
       saltThreshold: Long = 1000,  // df above which a term's list is salted
       saltChunk: Long = 1024,      // docID-range width of one salt chunk
       segmentSize: Int = 1024,     // max postings per segment row
-      partitions: Int = 32)
+      partitions: Int = 32,
+      // broadcast the (docID, len) side of the postings join below this
+      // many docs — saves re-shuffling the whole tf table by docID. At
+      // 10^12-file scale this is off (docstats outgrow executor memory)
+      // and the join falls back to shuffle.
+      broadcastDocStatsUpTo: Long = 4_000_000L)
 
   /** df-range bucket: log2-spaced document-frequency ranges, capped.
     * Deterministic integer math (no floating log). High buckets = the
@@ -93,15 +100,22 @@ object Index {
     * outputs are reused untouched) — kill/retry-safe: each stage writes
     * its output, then lineage, then the marker. */
   def build(spark: SparkSession, sfDir: String, indexDir: String,
-            p: BuildParams = BuildParams()): Unit = {
+            p: BuildParams = BuildParams()): Unit =
+    buildFrom(spark, Corpus.docs(spark, sfDir), indexDir, p)
+
+  /** Build from an explicit docs DataFrame (input_hint shape + docID) —
+    * the entry the incremental/streaming path uses per micro-batch. */
+  def buildFrom(spark: SparkSession, docs: DataFrame, indexDir: String,
+                p: BuildParams = BuildParams()): Unit = {
     import spark.implicits._
     Files.createDirectories(Paths.get(indexDir))
 
-    // -- stage 1: term frequencies (one shuffle: partial+final hash agg)
+    // -- stage 1: term frequencies (ONE shuffle: partial+final hash agg;
+    //    written in groupBy output partitioning — stage 4 re-shuffles by
+    //    (bucket, term, salt) anyway, so any extra layout shuffle here
+    //    would be pure waste)
     if (!done(indexDir, "tf")) timed("tf") {
-      val docs = Corpus.docs(spark, sfDir)
       Bm25.termFreq(docs)
-        .repartition(p.partitions, col("term"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
       val lin = spark.read.parquet(s"$indexDir/tf")
         .groupBy(spark_partition_id().as("partitionId"))
@@ -124,7 +138,9 @@ object Index {
       dl.agg(
           count(lit(1)).cast("double").as("n"),
           (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"),
-          max(col("docID")).as("maxDoc"))
+          max(col("docID")).as("maxDoc"),
+          min(col("docID")).as("minDoc"),
+          sum(col("len")).as("sumLen"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
       val lin = dl
@@ -158,10 +174,14 @@ object Index {
 
     // -- stage 4: salted repartition → per-partition merge-sort → encode
     if (!done(indexDir, "postings")) timed("postings") {
-      val stats = spark.read.parquet(s"$indexDir/stats").as[CorpusStat].head()
-      val avgdl = stats.avgdl
-      val dict = spark.read.parquet(s"$indexDir/dictionary")
-      val doclen = spark.read.parquet(s"$indexDir/docstats")
+      val dict0 = spark.read.parquet(s"$indexDir/dictionary")
+      val doclen0 = spark.read.parquet(s"$indexDir/docstats")
+      // metadata-only counts decide the join strategies; below the caps
+      // both sides broadcast and tf flows shuffle-free into the single
+      // (bucket, term, salt) exchange
+      val doclen = if (doclen0.count() <= p.broadcastDocStatsUpTo)
+        broadcast(doclen0) else doclen0
+      val dict = if (dict0.count() <= 1_000_000L) broadcast(dict0) else dict0
 
       // Salting (north rule): terms with df > saltThreshold are split on
       // fixed docID-chunk boundaries so no single partition owns a whole
@@ -181,7 +201,7 @@ object Index {
         .sortWithinPartitions(col("term"), col("docID"))
         .drop("salt")
         .as[TermPosting]
-        .mapPartitions(it => encodePartition(it, avgdl, p))
+        .mapPartitions(it => encodePartition(it, p))
 
       segs.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(s"$indexDir/postings")
@@ -200,7 +220,7 @@ object Index {
     * (term, docID); emit a segment whenever the term changes, the segment
     * reaches segmentSize postings, or (salted terms) the docID crosses a
     * salt-chunk boundary. Never materializes more than one segment. */
-  def encodePartition(rows: Iterator[TermPosting], avgdl: Double,
+  def encodePartition(rows: Iterator[TermPosting],
                       p: BuildParams): Iterator[PostingSegment] =
     new Iterator[PostingSegment] {
       private val it = rows.buffered
@@ -212,7 +232,7 @@ object Index {
         val chunk = if (salted) first.docID / p.saltChunk else 0L
         val ids = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         val tfs = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
-        val qs = new ArrayBuffer[Double](math.min(p.segmentSize, 64))
+        val lens = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         var continue = true
         while (continue && it.hasNext) {
           val r = it.head
@@ -224,16 +244,16 @@ object Index {
               s"postings not strictly increasing for term=$term: ${r.docID}")
             ids += r.docID
             tfs += r.tf
-            qs += Bm25.quotient(r.tf, r.len, avgdl)
+            lens += r.len
             it.next()
           }
         }
         val idArr = ids.toArray
-        val blocks = Codec.encodeBlocks(idArr, tfs.toArray, qs.toArray)
+        val blocks = Codec.encodeBlocks(idArr, tfs.toArray, lens.toArray)
         PostingSegment(term, first.bucket, first.df,
           idArr.head, idArr.last, idArr.length,
           blocks.docBlob, blocks.tfBlob,
-          blocks.blockLastDoc, blocks.blockMaxQ,
+          blocks.blockLastDoc, blocks.blockMaxTf, blocks.blockMinLen,
           blocks.blockDocOff, blocks.blockTfOff)
       }
     }
@@ -259,7 +279,7 @@ object Index {
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("bucket"), col("df"), col("minDoc"),
         col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
-        col("blockLastDoc"), col("blockMaxQ"),
+        col("blockLastDoc"), col("blockMaxTf"), col("blockMinLen"),
         col("blockDocOff"), col("blockTfOff"))
       .as[PostingSegment]
   }

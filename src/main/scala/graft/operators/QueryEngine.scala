@@ -37,9 +37,10 @@ object QueryEngine {
   def r4(s: Double): Double =
     new JBigDecimal(s).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
-  /** Safety pad for block-max upper bounds: blockMaxQ is stored with a
-    * different float association than the scoring path, so bounds are
-    * inflated before pruning comparisons (admissibility insurance). */
+  /** Safety pad for block-max upper bounds before pruning comparisons.
+    * The (maxTf, minLen) bound is FP-monotone vs the scoring quotient
+    * (every op is correctly-rounded and monotone), so this is pure
+    * insurance — it can only make pruning more conservative. */
   private def pad(ub: Double): Double = ub * (1.0 + 1e-9) + 1e-12
 
   // ----------------------------------------------------- posting iterator
@@ -48,7 +49,8 @@ object QueryEngine {
     * range-disjoint segments. Supports advance(target) with segment-level
     * skip (minDoc/maxDoc), block-level skip (binary search on
     * blockLastDoc), and lazy block decode. */
-  final class PostingListIterator(segments: Array[PostingSegment]) {
+  final class PostingListIterator(segments: Array[PostingSegment],
+                                  avgdl: Double) {
     require(segments.nonEmpty)
     private var segIdx = 0
     private var blkIdx = -1
@@ -62,8 +64,11 @@ object QueryEngine {
     def exhausted: Boolean = exhaustedFlag
     private def seg: PostingSegment = segments(segIdx)
 
-    /** Upper-bound quotient of the block containing the current posting. */
-    def blockMaxQ: Double = seg.blockMaxQ(blkIdx)
+    /** Upper-bound quotient of the block containing the current posting:
+      * quotient(maxTf, minLen) under the CURRENT avgdl — admissible even
+      * when the segment was encoded against an older corpus. */
+    def blockMaxQ: Double =
+      Bm25.quotient(seg.blockMaxTf(blkIdx), seg.blockMinLen(blkIdx), avgdl)
 
     /** Last docID of the current block (block-max skip horizon). */
     def blockLastDoc: Long = seg.blockLastDoc(blkIdx)
@@ -133,7 +138,7 @@ object QueryEngine {
       rounded: Boolean): Seq[ScoredDoc] = {
     val n = termsSorted.length
     if (n == 0 || segsByTerm.size < n) return Nil
-    val iters = termsSorted.map(tc => new PostingListIterator(segsByTerm(tc.term)))
+    val iters = termsSorted.map(tc => new PostingListIterator(segsByTerm(tc.term), avgdl))
     iters.foreach(_.advance(lo))
     if (iters.exists(_.exhausted)) return Nil
     // driver order: rarest first minimizes advance() work
@@ -215,106 +220,362 @@ object QueryEngine {
     }
     out.result()
   }
+
+  /** Disjunctive (OR-semantics) WAND over one docID range [lo, hi):
+    * score = Σ contributions of the query terms PRESENT in the doc,
+    * accumulated in ascending term order with absent terms contributing
+    * an exact +0.0 (so the association matches the SQL twin's
+    * `coalesce(c_i, 0)` fixed-order sum bit-for-bit).
+    *
+    * Pruning = classic WAND pivot selection on per-term global upper
+    * bounds (idf × max block quotient over the term's segments), plus a
+    * block-max re-check at the pivot before full scoring. Both bounds are
+    * padded (admissibility insurance, same as the AND path). */
+  def wandOrRange(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, k: Int,
+      rounded: Boolean): Seq[ScoredDoc] = {
+    val present = termsSorted.filter(tc => segsByTerm.contains(tc.term))
+    val n = present.length
+    if (n == 0) return Nil
+    val iters = present.map(tc => new PostingListIterator(segsByTerm(tc.term), avgdl))
+    iters.foreach(_.advance(lo))
+    // global admissible UB per term: idf × max block quotient anywhere
+    val ub = present.map { tc =>
+      tc.idf * segsByTerm(tc.term).iterator.flatMap(s =>
+        s.blockMaxTf.lazyZip(s.blockMinLen).map(Bm25.quotient(_, _, avgdl))).max
+    }
+
+    final case class Entry(key: Double, docID: Long, score: Double)
+    val worseFirst = Ordering.fromLessThan[Entry]((a, b) =>
+      a.key < b.key || (a.key == b.key && a.docID > b.docID))
+    val heap = new mutable.PriorityQueue[Entry]()(worseFirst.reverse)
+    def keyOf(score: Double): Double = if (rounded) r4(score) else score
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity
+      else if (rounded) heap.head.key - 0.00005
+      else heap.head.key
+    def offer(docID: Long, score: Double): Unit = {
+      val key = keyOf(score)
+      if (heap.size < k) heap.enqueue(Entry(key, docID, score))
+      else {
+        val w = heap.head
+        if (key > w.key || (key == w.key && docID < w.docID)) {
+          heap.dequeue(); heap.enqueue(Entry(key, docID, score))
+        }
+      }
+    }
+
+    val order = Array.range(0, n) // indices sorted by current docID
+    var running = true
+    while (running) {
+      // insertion sort by current docID (n is tiny; exhausted → MaxValue)
+      var i = 1
+      while (i < n) {
+        val v = order(i)
+        var j = i - 1
+        while (j >= 0 && iters(order(j)).docID > iters(v).docID) {
+          order(j + 1) = order(j); j -= 1
+        }
+        order(j + 1) = v
+        i += 1
+      }
+      if (iters(order(0)).exhausted || iters(order(0)).docID >= hi) running = false
+      else {
+        // pivot: first prefix of docID-sorted iterators whose Σ UB beats θ
+        val th = threshold
+        var acc = 0.0
+        var p = -1
+        var pi = 0
+        while (p < 0 && pi < n) {
+          val oi = order(pi)
+          if (!iters(oi).exhausted) {
+            acc += ub(oi)
+            if (pad(acc) >= th || th == Double.NegativeInfinity) p = pi
+          }
+          pi += 1
+        }
+        if (p < 0) running = false
+        else {
+          val pivotDoc = iters(order(p)).docID
+          if (pivotDoc >= hi) running = false
+          else if (iters(order(0)).docID == pivotDoc) {
+            // align every iterator ≤ pivot on pivotDoc, then block-max check
+            var a = 0
+            while (a <= p) { iters(order(a)).advance(pivotDoc); a += 1 }
+            var bub = 0.0
+            var bi = 0
+            while (bi < n) {
+              val it = iters(bi)
+              if (!it.exhausted && it.docID == pivotDoc)
+                bub += present(bi).idf * it.blockMaxQ
+              bi += 1
+            }
+            if (heap.size >= k && pad(bub) < threshold) {
+              // cannot enter top-k: skip past pivotDoc on matching iterators
+              var m = 0
+              while (m < n) {
+                val it = iters(m)
+                if (!it.exhausted && it.docID == pivotDoc) it.advance(pivotDoc + 1)
+                m += 1
+              }
+            } else {
+              // exact score, ascending-term order, absent terms +0.0 exact
+              val len = lenOf(pivotDoc)
+              val norm = 1.2 * (0.25 + 0.75 * len.toDouble / avgdl)
+              var score = 0.0
+              var s = 0
+              while (s < n) {
+                val it = iters(s)
+                if (!it.exhausted && it.docID == pivotDoc) {
+                  val tfv = it.tf.toDouble
+                  score += present(s).idf * (tfv * 2.2) / (tfv + norm)
+                } else score += 0.0
+                s += 1
+              }
+              offer(pivotDoc, score)
+              var m = 0
+              while (m < n) {
+                val it = iters(m)
+                if (!it.exhausted && it.docID == pivotDoc) it.advance(pivotDoc + 1)
+                m += 1
+              }
+            }
+          } else {
+            // advance, up to pivotDoc, the largest-UB iterator that is
+            // strictly BEFORE it (order(0) qualifies — this branch means
+            // order(0).docID < pivotDoc — so progress is guaranteed;
+            // an iterator already AT pivotDoc must not be chosen, its
+            // advance would be a no-op and the loop would spin)
+            var best = 0
+            var bi = 1
+            while (bi < p) {
+              if (iters(order(bi)).docID < pivotDoc && ub(order(bi)) > ub(order(best)))
+                best = bi
+              bi += 1
+            }
+            iters(order(best)).advance(pivotDoc)
+          }
+        }
+      }
+    }
+    val out = Seq.newBuilder[ScoredDoc]
+    while (heap.nonEmpty) {
+      val e = heap.dequeue()
+      out += ScoredDoc(e.docID, e.score)
+    }
+    out.result()
+  }
 }
 
 /** Per-index query session: caches stats, the docID-range layout and
   * (small-corpus path) the broadcast norms, then serves topK queries —
-  * the analogue of keeping the index open in a search service. */
+  * the analogue of keeping the index open in a search service.
+  *
+  * Accepts ONE OR MORE index directories (LSM-style): a base index plus
+  * incremental deltas ([[graft.streaming.IncrementalIndex]]). The only
+  * precondition is pairwise-disjoint docID ranges between indexes
+  * (append-style ingestion) — asserted at load. Global statistics
+  * (N, avgdl, per-term df) are combined exactly, and block-max bounds
+  * stay admissible because segments store (maxTf, minLen), not a
+  * quotient baked against a stale avgdl. */
 final class QueryEngine(
     spark: SparkSession,
-    indexDir: String,
+    indexDirs: Seq[String],
     numRanges: Int = 32,
     broadcastNormsUpTo: Long = 4_000_000L,
-    dictCacheUpTo: Long = 1_000_000L) extends Serializable {
+    dictCacheUpTo: Long = 1_000_000L,
+    broadcastPostingsUpTo: Long = 8_000_000L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
+  require(indexDirs.nonEmpty)
 
-  val stats: CorpusStat = Index.readStats(spark, indexDir)
+  private val perDirStats: Seq[CorpusStat] =
+    indexDirs.map(d => Index.readStats(spark, d))
+  // LSM precondition: docID ranges disjoint across constituent indexes
+  perDirStats.map(s => (s.minDoc, s.maxDoc)).sortBy(_._1).sliding(2).foreach {
+    case Seq(a, b) =>
+      require(a._2 < b._1, s"index docID ranges overlap: $a vs $b")
+    case _ =>
+  }
+
+  /** Combined corpus statistics. Single-index avgdl reproduces the stored
+    * value bit-for-bit (same double division). */
+  val stats: CorpusStat = {
+    val n = perDirStats.map(_.n).sum
+    val sumLen = perDirStats.map(_.sumLen).sum
+    CorpusStat(n, sumLen.toDouble / n, perDirStats.map(_.maxDoc).max,
+      perDirStats.map(_.minDoc).min, sumLen)
+  }
   private val useBroadcastNorms = stats.n <= broadcastNormsUpTo.toDouble
 
-  /** Small-vocab path: the whole dictionary pinned on the driver (a
-    * search service keeps its term dictionary in memory). Vocabulary
+  /** Small-vocab path: every constituent dictionary pinned on the driver
+    * (a search service keeps its term dictionary in memory). Vocabulary
     * grows ~log(corpus), so this holds far beyond sandbox scale; above
-    * the cap, lookups fall back to the term-pruned dictionary scan. */
-  private val dictCache: Option[Map[String, DictEntry]] = {
-    val d = Index.readDictionary(spark, indexDir)
-    if (d.count() <= dictCacheUpTo) Some(d.collect().map(e => e.term -> e).toMap)
+    * the cap, lookups fall back to term-pruned dictionary scans. */
+  private val dictCaches: Option[Seq[Map[String, DictEntry]]] = {
+    val ds = indexDirs.map(d => Index.readDictionary(spark, d))
+    if (ds.map(_.count()).sum <= dictCacheUpTo)
+      Some(ds.map(_.collect().map(e => e.term -> e).toMap))
     else None
   }
+
+  private def allDocStats =
+    indexDirs.map(d => Index.readDocStats(spark, d)).reduce(_ union _)
 
   /** Small-corpus path: norms as a broadcast primitive-friendly map. */
   private val normsBc =
     if (useBroadcastNorms) {
-      val m = Index.readDocStats(spark, indexDir)
-        .collect().map(d => d.docID -> d.len).toMap
+      val m = allDocStats.collect().map(d => d.docID -> d.len).toMap
       Some(spark.sparkContext.broadcast(m))
     } else None
 
-  private def lookupTerms(terms: Seq[String]): Seq[DictEntry] = dictCache match {
-    case Some(m) => terms.flatMap(m.get)
-    case None =>
-      Index.readDictionary(spark, indexDir)
-        .filter(col("term").isin(terms: _*))
-        .collect().toSeq
-  }
+  /** Per constituent index: the query terms it knows, with ITS bucket
+    * assignment (buckets are per-index — df-local at build time). */
+  private def lookupPerDir(terms: Seq[String]): Seq[Seq[DictEntry]] =
+    dictCaches match {
+      case Some(ms) => ms.map(m => terms.flatMap(m.get))
+      case None => indexDirs.map { d =>
+        Index.readDictionary(spark, d)
+          .filter(col("term").isin(terms: _*))
+          .collect().toSeq
+      }
+    }
 
   /** Top-k (docID, score) for a query string; AND semantics; empty
     * result if any term is absent (or the query has no terms). Score is
     * exact in exact mode, rounded to 4 decimals in rounded mode; order
     * (score desc, docID asc) on the mode's score. */
-  def topK(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame = {
+  def topK(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode = false)
+
+  /** Disjunctive variant: docs matching ANY query term, scored over the
+    * terms they contain ([[QueryEngine.wandOrRange]]). */
+  def topKOr(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode = true)
+
+  private def topKImpl(qtext: String, k: Int, rounded: Boolean,
+                       orMode: Boolean): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
-    val dict = lookupTerms(terms)
-    if (dict.size < terms.size) return empty // AND: a missing term → ∅
+    val perDir = lookupPerDir(terms)
+    // exact combined df: sum of per-index dfs (docID ranges are disjoint)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (!orMode && combinedDf.size < terms.size) return empty // AND: missing term → ∅
+    if (combinedDf.isEmpty) return empty
 
     val n = stats.n
     val avgdl = stats.avgdl
-    val termCtx = dict.map(d => TermCtx(d.term, d.df, Bm25.idf(n, d.df)))
+    val termCtx = combinedDf.toSeq
+      .map { case (t, df) => TermCtx(t, df, Bm25.idf(n, df)) }
       .sortBy(_.term).toArray
-    val buckets = dict.map(_.bucket).distinct
     // shard the docID space ∝ posting volume (~100k postings per task,
     // capped at numRanges): a rare-term query runs in one task with no
     // fan-out, a stop-word query spreads across the cluster
     val ranges = math.max(1L,
-      math.min(numRanges.toLong, dict.map(_.df).sum / 100_000L + 1)).toInt
+      math.min(numRanges.toLong, combinedDf.values.sum / 100_000L + 1)).toInt
     val rs = math.max(1L, (stats.maxDoc + ranges) / ranges)
     val kk = k
     val rnd = rounded
+    val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
+      Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
+      if (orMode) wandOrRange else wandRange
 
-    val segs = Index.readSegments(spark, indexDir, terms, buckets)
-    val ranged = segs.flatMap { s =>
-      val loR = (s.minDoc / rs).toInt
-      val hiR = (s.maxDoc / rs).toInt
-      (loR to hiR).map(r => RangedSeg(r, s))
-    }
+    // ---- physical path selection ------------------------------------
+    // SCAN path (default): zero per-query shuffle. The highest-df
+    // ("driver") term is scanned distributed straight off the
+    // partition/row-group-pruned postings table; every other query
+    // term's compressed segments are collected (they are the RARER
+    // terms — bounded by broadcastPostingsUpTo total postings) and
+    // broadcast. Each scan task runs WAND over its driver segments'
+    // docID ranges; ranges are disjoint across tasks, so the union of
+    // per-task top-k feeds one global TakeOrderedAndProject.
+    // Preconditions: broadcast norms available; OR mode only when a
+    // single term is present (disjunction needs ALL terms co-located).
+    //
+    // RANGE path (fallback; also the 10^12-scale plan for norm tables
+    // that outgrow broadcast): shard the docID space, shuffle segments
+    // (and, beyond the norms cap, cogroup norms) to range tasks.
+    val driverTerm = termCtx.maxBy(_.df).term
+    val sideDfSum = termCtx.filter(_.term != driverTerm).map(_.df).sum
+    val scanPath = normsBc.isDefined &&
+      (!orMode || termCtx.length == 1) && sideDfSum <= broadcastPostingsUpTo
 
-    val local: org.apache.spark.sql.Dataset[ScoredDoc] = normsBc match {
-      case Some(bc) =>
-        ranged.groupByKey(_.rangeId).flatMapGroups { (rid, it) =>
-          val byTerm = it.map(_.seg).toArray.groupBy(_.term)
-            .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
-          val lo = rid.toLong * rs
-          val norms = bc.value
-          wandRange(byTerm, termCtx, norms.apply, avgdl, lo, lo + rs, kk, rnd)
-            .iterator
+    val local: org.apache.spark.sql.Dataset[ScoredDoc] =
+    if (scanPath) {
+      val bc = normsBc.get
+      val sideByTerm: Map[String, Array[PostingSegment]] =
+        indexDirs.zip(perDir).flatMap { case (dir, es) =>
+          val se = es.filter(_.term != driverTerm)
+          if (se.isEmpty) Nil
+          else Index.readSegments(spark, dir, se.map(_.term),
+            se.map(_.bucket).distinct).collect().toSeq
+        }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
+      val sideBc = spark.sparkContext.broadcast(sideByTerm)
+      val driverSegs = indexDirs.zip(perDir)
+        .filter(_._2.exists(_.term == driverTerm))
+        .map { case (dir, es) =>
+          Index.readSegments(spark, dir, Seq(driverTerm),
+            es.filter(_.term == driverTerm).map(_.bucket).distinct)
         }
-      case None =>
-        val normsByRange = Index.readDocStats(spark, indexDir)
-          .groupByKey(d => (d.docID / rs).toInt)
-        ranged.groupByKey(_.rangeId).cogroup(normsByRange) { (rid, segIt, dsIt) =>
-          val byTerm = segIt.map(_.seg).toArray.groupBy(_.term)
-            .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
-          if (byTerm.isEmpty) Iterator.empty
-          else {
-            val norms = dsIt.map(d => d.docID -> d.len).toMap
+        .reduce(_ union _)
+      val tc = termCtx
+      val dt = driverTerm
+      val av = avgdl
+      val wf = wandFn
+      driverSegs.mapPartitions { it =>
+        val mySegs = it.toArray
+        if (mySegs.isEmpty) Iterator.empty
+        else {
+          val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
+          val norms = bc.value
+          wf(byTerm, tc, norms.apply, av, 0L, Long.MaxValue, kk, rnd).iterator
+        }
+      }
+    } else {
+      val segs = indexDirs.zip(perDir)
+        .filter(_._2.nonEmpty)
+        .map { case (dir, es) =>
+          Index.readSegments(spark, dir, es.map(_.term), es.map(_.bucket).distinct)
+        }
+        .reduce(_ union _)
+      val ranged = segs.flatMap { s =>
+        val loR = (s.minDoc / rs).toInt
+        val hiR = (s.maxDoc / rs).toInt
+        (loR to hiR).map(r => RangedSeg(r, s))
+      }
+
+      normsBc match {
+        case Some(bc) =>
+          ranged.groupByKey(_.rangeId).flatMapGroups { (rid, it) =>
+            val byTerm = it.map(_.seg).toArray.groupBy(_.term)
+              .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
             val lo = rid.toLong * rs
-            wandRange(byTerm, termCtx, norms.apply, avgdl, lo, lo + rs, kk, rnd)
+            val norms = bc.value
+            wandFn(byTerm, termCtx, norms.apply, avgdl, lo, lo + rs, kk, rnd)
               .iterator
           }
-        }
+        case None =>
+          val normsByRange = allDocStats
+            .groupByKey(d => (d.docID / rs).toInt)
+          ranged.groupByKey(_.rangeId).cogroup(normsByRange) { (rid, segIt, dsIt) =>
+            val byTerm = segIt.map(_.seg).toArray.groupBy(_.term)
+              .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+            if (byTerm.isEmpty) Iterator.empty
+            else {
+              val norms = dsIt.map(d => d.docID -> d.len).toMap
+              val lo = rid.toLong * rs
+              wandFn(byTerm, termCtx, norms.apply, avgdl, lo, lo + rs, kk, rnd)
+                .iterator
+            }
+          }
+      }
     }
 
     if (rounded)
@@ -331,10 +592,10 @@ final class QueryEngine(
   /** Driver-contract shape over the whole fixed query set:
     * (query, rank, docID, score) with rounded ranking — column-identical
     * to Bm25.oracleTopK / its DuckDB SQL twin. */
-  def topKAll(k: Int = Bm25.K): DataFrame = {
+  def topKAll(k: Int = Bm25.K, orMode: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Bm25.QuerySet.map { case (qid, qtext) =>
-      topK(qtext, k, rounded = true)
+      topKImpl(qtext, k, rounded = true, orMode = orMode)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
         .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))

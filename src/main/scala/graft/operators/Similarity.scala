@@ -88,6 +88,92 @@ object Similarity {
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: partition vectors into nlist Voronoi cells
+    * around k-means centroids; a query scans only the nprobe nearest
+    * cells. The 100 TB shape: the centroid table is tiny (broadcast), the
+    * corpus is hash-partitioned by cell → a probe is a partition-pruned
+    * scan + exact rerank, no all-pairs anything.
+    *
+    * Deterministic training, no RNG state: centroids init from evenly
+    * spaced vec_ids (corpus order), then [[IvfIters]] Lloyd rounds as
+    * groupBy-avg DataFrame jobs (each round: one broadcast join + one
+    * shuffle). Assignment ties break on lower centroid id via the
+    * (dist asc, cid asc) ordering. */
+  val IvfNlist = 16
+  val IvfNprobe = 4
+  val IvfIters = 3
+
+  /** (vec_id, embedding, cell) assignment plus the centroid table
+    * (cid, centroid: array<double>). */
+  def ivfModel(spark: SparkSession, sfDir: String,
+               nlist: Int = IvfNlist, iters: Int = IvfIters): (DataFrame, DataFrame) = {
+    val e = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val step = math.max(1L, n / nlist)
+    val seedIds = (0 until nlist).map(i => i * step)
+    var cents = e.filter(col("vec_id").isin(seedIds: _*))
+      .orderBy(col("vec_id")).limit(nlist)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("dist",
+          aggregate(zip_with(col("embedding"), col("centroid"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val dim = Corpus.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    for (_ <- 0 until iters) {
+      val asg = assign(cents)
+      // new centroid = element-wise mean of the cell's members
+      val sums = asg
+        .select(col("cell"), transform(col("embedding"), _.cast("double")).as("v"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          array((0 until dim).map(j =>
+            sum(element_at(col("v"), j + 1))): _*).as("vsum"))
+      cents = sums.select(col("cell").as("cid"),
+        transform(col("vsum"), s => s / col("cnt")).as("centroid"))
+    }
+    (assign(cents), cents)
+  }
+
+  /** IVF approximate top-k: for each query, rank exact cosine within the
+    * nprobe nearest cells only. Same output shape as [[bruteTopK]]. */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              queryIds: Seq[Long] = QueryIds, k: Int = K,
+              nprobe: Int = IvfNprobe): DataFrame = {
+    val (asg, cents) = ivfModel(spark, sfDir)
+    val q = asg.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // nprobe nearest centroids per query (tiny: queries × nlist)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    asg.join(broadcast(probes),
+        asg("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Dedup.cosineCol(col("qv"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket and all
     * buckets at hamming distance 1 (multiprobe ring). Same output shape
     * as [[bruteTopK]]; rank within probed candidates. */

@@ -53,8 +53,8 @@ class CodecSpec extends AnyFunSuite {
   test("block layout: every block independently decodable; directory consistent") {
     forAllGen(sortedIds.suchThat(_.nonEmpty)) { ids =>
       val tfs = ids.map(i => (i % 7) + 1)
-      val qs = ids.map(i => (i % 13).toDouble / 13.0)
-      val b = Codec.encodeBlocks(ids, tfs, qs)
+      val lens = ids.map(i => (i % 13) + 5)
+      val b = Codec.encodeBlocks(ids, tfs, lens)
       val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
       assert(b.blockLastDoc.length == nBlocks)
       var off = 0
@@ -66,7 +66,8 @@ class CodecSpec extends AnyFunSuite {
         assert(dIds.sameElements(ids.slice(start, start + cnt)))
         assert(dTfs.sameElements(tfs.slice(start, start + cnt)))
         assert(b.blockLastDoc(blk) == ids(start + cnt - 1))
-        assert(b.blockMaxQ(blk) == qs.slice(start, start + cnt).max)
+        assert(b.blockMaxTf(blk) == tfs.slice(start, start + cnt).max)
+        assert(b.blockMinLen(blk) == lens.slice(start, start + cnt).min)
         off += cnt
       }
       assert(off == ids.length)

@@ -25,7 +25,7 @@ class IndexQuerySpec extends AnyFunSuite {
     new Directory(new java.io.File(indexDir)).deleteRecursively()
     Index.build(spark, sfDir, indexDir, params)
   }
-  private lazy val engine: QueryEngine = { built; new QueryEngine(spark, indexDir) }
+  private lazy val engine: QueryEngine = { built; new QueryEngine(spark, Seq(indexDir)) }
 
   private def collectTopK(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.select(col("docID").cast("long"), col("score").cast("double"))
@@ -53,10 +53,53 @@ class IndexQuerySpec extends AnyFunSuite {
 
   test("cogroup (non-broadcast norms) path is identical") {
     built
-    val cg = new QueryEngine(spark, indexDir, broadcastNormsUpTo = 0L)
+    val cg = new QueryEngine(spark, Seq(indexDir), broadcastNormsUpTo = 0L)
     for ((_, qtext) <- Bm25.QuerySet.take(4)) {
       assert(collectTopK(cg.topK(qtext)) == collectTopK(engine.topK(qtext)))
     }
+  }
+
+  test("range-shuffle path identical to the default scan path (AND + OR)") {
+    built
+    // broadcastPostingsUpTo = -1 forces the range path even for
+    // single-term queries (sideDfSum = 0)
+    val rangePath = new QueryEngine(spark, Seq(indexDir), broadcastPostingsUpTo = -1L)
+    for ((_, qtext) <- Bm25.QuerySet) {
+      assert(collectTopK(rangePath.topK(qtext)) == collectTopK(engine.topK(qtext)),
+        s"AND '$qtext'")
+      assert(collectTopK(rangePath.topKOr(qtext)) == collectTopK(engine.topKOr(qtext)),
+        s"OR '$qtext'")
+    }
+  }
+
+  test("OR mode: rank-identity vs exact disjunctive oracle (every query)") {
+    built
+    for ((qid, qtext) <- Bm25.QuerySet if qtext != "zzzzunknown") {
+      val oracle = collectTopK(Bm25.oracleTopKOrExact(spark, sfDir, qtext))
+      val indexed = collectTopK(engine.topKOr(qtext, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid '$qtext': OR docID ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+    }
+  }
+
+  test("OR mode: rounded driver-contract frame matches brute-force OR oracle") {
+    built
+    val oracle = Bm25.oracleTopKOr(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAll(orMode = true).collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("OR mode: single-term queries coincide with AND; all-absent query is empty") {
+    built
+    for (q <- Seq("window", "batch", "the"))
+      assert(collectTopK(engine.topKOr(q)) == collectTopK(engine.topK(q)))
+    assert(engine.topKOr("zzzzunknown").count() == 0)
+    // mixed present/absent: OR degrades to the present term, AND is empty
+    assert(collectTopK(engine.topKOr("window zzzzunknown")) ==
+      collectTopK(engine.topK("window")))
   }
 
   test("empty query and absent term give empty results (AND semantics)") {
@@ -92,7 +135,7 @@ class IndexQuerySpec extends AnyFunSuite {
     val all = spark.read.parquet(s"$indexDir/postings")
       .select(col("term"), col("bucket"), col("df"), col("minDoc"),
         col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
-        col("blockLastDoc"), col("blockMaxQ"),
+        col("blockLastDoc"), col("blockMaxTf"), col("blockMinLen"),
         col("blockDocOff"), col("blockTfOff"))
       .as[PostingSegment].collect()
     var totalPostings = 0L
@@ -151,7 +194,7 @@ class IndexQuerySpec extends AnyFunSuite {
     Index.build(spark, sfDir, indexDir, params)
     assert(Files.getLastModifiedTime(docstatsMarker) == mtime,
       "completed stages must not be recomputed")
-    val after = new QueryEngine(spark, indexDir).topKAll().collect().map(_.toSeq).toSeq
+    val after = new QueryEngine(spark, Seq(indexDir)).topKAll().collect().map(_.toSeq).toSeq
     assert(after == before)
   }
 

@@ -66,6 +66,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"implausibly low LSH recall: $recall")
   }
 
+  test("ann IVF top-k: shape correct, measured recall vs brute force") {
+    val rows = Similarity.ivfTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Similarity.QueryIds.toSet)
+    for ((q, rs) <- byQ) {
+      assert(rs.length == Similarity.K)
+      assert(rs.forall(_.getLong(2) != q))
+    }
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"ANN IVF recall@10 (nprobe=${Similarity.IvfNprobe}/${Similarity.IvfNlist}): $recall%.2f")
+    assert(recall >= 0.3, s"implausibly low IVF recall: $recall")
+    // determinism: same model, same ranking on a repeat run
+    val again = Similarity.ivfTopK(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("token stats: alnum tokens >= ws tokens never holds trivially; counts positive") {
     val rows = TextStats.tokenStats(spark, dir).collect()
     assert(rows.length == 500)
