@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Bm25, Dedup, Index, Metrics, QueryEngine, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plan-audit main: dumps `explain("formatted")` for the headline
+  * operators so the physical plans can be reviewed (pushdown, pruning,
+  * broadcast choices, codegen spans). Output is committed to PLANS.md.
+  *
+  * Usage: sbt -batch "runMain graft.Explain [sfDir]" */
+object Explain {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String, note: String, df: DataFrame): Unit = {
+      println(s"\n## $name\n\n$note\n\n```")
+      df.explain("formatted")
+      println("```")
+    }
+
+    show("corpus scan, projected + filtered",
+      "Expect: ReadSchema limited to doc_id/text-derived columns and " +
+        "PushedFilters on doc_id — predicate + projection reach the scan.",
+      Corpus.docs(spark, sfDir).select(col("docID"), col("lang"))
+        .filter(col("docID") < 100))
+
+    show("tf aggregation (index stage 1)",
+      "Expect: one Exchange; partial_count before it (map-side combine), " +
+        "count after; whole-stage codegen around the explode+agg.",
+      Bm25.termFreq(Corpus.docs(spark, sfDir)))
+
+    val indexDir = "/tmp/graft/explain_index"
+    Index.build(spark, sfDir, indexDir)
+    show("postings scan for a 2-term query (pruned)",
+      "Expect: PartitionFilters on bucket+tpart (directory pruning), " +
+        "PushedFilters on term (row-group stats).",
+      Index.readSegments(spark, indexDir, Seq("hash", "join"),
+        Seq(Index.bucketOf(100, 16), Index.bucketOf(400, 16), 7, 8, 9)
+          .distinct).toDF())
+
+    show("indexed BM25 top-k (scan path, physical)",
+      "Expect: no Exchange before the WAND mapPartitions; a single " +
+        "TakeOrderedAndProject on (score desc, docID asc).",
+      new QueryEngine(spark, Seq(indexDir)).topK("hash join"))
+
+    show("brute-force BM25 oracle",
+      "Expect: broadcast of the 1-row stats; shuffle joins tf⋈df⋈len; " +
+        "window rank per query.",
+      Bm25.oracleTopKExact(spark, sfDir, "hash join"))
+
+    show("minhash LSH candidates",
+      "Expect: signatures as ONE hash-agg of 128 partial mins (map-side " +
+        "combine), band explode, self-equi-join on (band, bh).",
+      Dedup.lshCandidates(Dedup.minhashSignatures(
+        Dedup.shingles(Corpus.docs(spark, sfDir)))))
+
+    show("ANN brute cosine top-k",
+      "Expect: BroadcastNestedLoopJoin (tiny query side broadcast), " +
+        "graft_cosine codegen'd in the projection, window top-k.",
+      Similarity.bruteTopK(spark, sfDir))
+
+    show("metrics rollup",
+      "Expect: Expand + single hash aggregate with partial aggregation.",
+      Metrics.rollupMetrics(spark, sfDir))
+
+    spark.stop()
+  }
+}

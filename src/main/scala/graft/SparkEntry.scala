@@ -28,6 +28,14 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAll(orMode = orMode)
   }
 
+  /** Phrase queries need positions: a separate positional index dir. */
+  def indexedPhraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    new QueryEngine(spark, Seq(indexDir)).topKAllPhrase()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- corpus mapping + per-row sha256 invariant (input_hint; SURVEY §1.2)
@@ -65,6 +73,10 @@ object SparkEntry {
     // -- disjunctive (OR) BM25: brute-force oracle + WAND-pruned engine
     "bm25_topk_or_oracle" -> ((s, dir) => Bm25.oracleTopKOr(s, dir)),
     "bm25_topk_or_indexed" -> ((s, dir) => indexedTopK(s, dir, orMode = true)),
+
+    // -- exact-phrase BM25 over the positional index
+    "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
+    "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
 
     // -- reference LIKE-substring parity (SURVEY §2.4 P8 / §2.7 O3)
     "substring_search" -> ((s, dir) => SubstringSearch.searchAll(s, dir)),
@@ -150,6 +162,8 @@ object SparkEntry {
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
     "bm25_topk_or_oracle" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
+    "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
+    "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
 
     "substring_search" -> SubstringSearch.oracleSql,
 

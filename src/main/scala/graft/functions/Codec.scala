@@ -117,27 +117,36 @@ object Codec {
       blockMaxTf: Array[Long],
       blockMinLen: Array[Long],
       blockDocOff: Array[Int],
-      blockTfOff: Array[Int])
+      blockTfOff: Array[Int],
+      posBlob: Array[Byte],
+      blockPosOff: Array[Int])
 
   /** Encode postings (parallel arrays, docIDs strictly increasing) into
     * the restart-point block layout. `lens(i)` is the token length of the
-    * posting's document (for the per-block minLen bound). */
-  def encodeBlocks(ids: Array[Long], tfs: Array[Long], lens: Array[Long]): Blocks = {
+    * posting's document (for the per-block minLen bound). `positions` is
+    * either null (non-positional index) or, per posting, the strictly
+    * increasing token positions of the term in that document — encoded as
+    * varint(count) + delta varints, restart per block (`blockPosOff`). */
+  def encodeBlocks(ids: Array[Long], tfs: Array[Long], lens: Array[Long],
+                   positions: Array[Array[Long]] = null): Blocks = {
     val n = ids.length
     val nBlocks = (n + BlockSize - 1) / BlockSize
     val docOut = new ByteArrayOutputStream(n * 2)
     val tfOut = new ByteArrayOutputStream(n)
+    val posOut = if (positions == null) null else new ByteArrayOutputStream(n * 2)
     val lastDoc = new Array[Long](nBlocks)
     val maxTf = new Array[Long](nBlocks)
     val minLen = new Array[Long](nBlocks)
     val docOff = new Array[Int](nBlocks)
     val tfOff = new Array[Int](nBlocks)
+    val posOff = new Array[Int](if (positions == null) 0 else nBlocks)
     var b = 0
     while (b < nBlocks) {
       val start = b * BlockSize
       val end = math.min(start + BlockSize, n)
       docOff(b) = docOut.size()
       tfOff(b) = tfOut.size()
+      if (posOut != null) posOff(b) = posOut.size()
       var prev = 0L
       var mtf = 0L
       var mlen = Long.MaxValue
@@ -148,6 +157,17 @@ object Codec {
         writeVarLong(tfOut, tfs(i))
         if (tfs(i) > mtf) mtf = tfs(i)
         if (lens(i) < mlen) mlen = lens(i)
+        if (posOut != null) {
+          val ps = positions(i)
+          writeVarLong(posOut, ps.length)
+          var k = 0
+          var pprev = 0L
+          while (k < ps.length) {
+            writeVarLong(posOut, if (k == 0) ps(0) else ps(k) - pprev)
+            pprev = ps(k)
+            k += 1
+          }
+        }
         i += 1
       }
       lastDoc(b) = ids(end - 1)
@@ -155,7 +175,36 @@ object Codec {
       minLen(b) = mlen
       b += 1
     }
-    Blocks(docOut.toByteArray, tfOut.toByteArray, lastDoc, maxTf, minLen, docOff, tfOff)
+    Blocks(docOut.toByteArray, tfOut.toByteArray, lastDoc, maxTf, minLen,
+      docOff, tfOff,
+      if (posOut == null) Array.emptyByteArray else posOut.toByteArray, posOff)
+  }
+
+  /** Decode the positions of every posting in one block (restart-point
+    * independent). Returns `count` arrays of strictly increasing token
+    * positions. */
+  def decodePositionsBlock(posBlob: Array[Byte], posOff: Int,
+                           count: Int): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](count)
+    var p = posOff
+    var i = 0
+    while (i < count) {
+      val (np, p1) = readVarLong(posBlob, p)
+      p = p1
+      val ps = new Array[Long](np.toInt)
+      var prev = 0L
+      var k = 0
+      while (k < np) {
+        val (v, p2) = readVarLong(posBlob, p)
+        prev = if (k == 0) v else prev + v
+        ps(k) = prev
+        p = p2
+        k += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
   }
 
   /** Decode one block (restart-point independent). Returns parallel

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector math.
+  *
+  * The Column-only formulation (`aggregate(zip_with(...))`, see
+  * Dedup.cosineCol) is correct but runs the higher-order-function
+  * interpreter per element — three lambda invocations and two array
+  * allocations per pair. Inside an all-pairs near-dup join that is THE
+  * inner loop, so it gets a real `Expression` with whole-stage codegen:
+  * one fused pass over both arrays, no allocation.
+  *
+  * Bit-compatibility contract: accumulates dot/na/nb in index order and
+  * computes `dot / sqrt(na) / sqrt(nb)` — operation-for-operation the
+  * same as Dedup.cosineCol, so swapping the implementations cannot move
+  * a rounded-4-decimals result (asserted in PipelineOpsSpec).
+  */
+object Native {
+
+  /** Codegen'd cosine similarity between two float/double array columns. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+}
+
+/** cos(a, b) = Σaᵢbᵢ / √Σaᵢ² / √Σbᵢ², null if either side is null.
+  * Element access is unrolled by element type at codegen time. */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> arguments, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = elemIsFloat(left)
+    val bf = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x: Double = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y: Double = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$aGet($i);
+         |  double $y = (double) $b.$bGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}

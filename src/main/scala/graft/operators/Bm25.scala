@@ -44,6 +44,19 @@ object Bm25 {
     "q10" -> "filter small value",
   )
 
+  /** Fixed phrase query set (FIXTURES.md §10): common bigram, rarer
+    * bigram, trigram, repeated-term phrase, mixed case, absent term
+    * (empty), single word (≡ AND). */
+  val PhraseQuerySet: Seq[(String, String)] = Seq(
+    "p01" -> "table hash",
+    "p02" -> "slow key",
+    "p03" -> "stream table hash",
+    "p04" -> "batch batch",
+    "p05" -> "Merge GROUP",
+    "p06" -> "window zzzzunknown",
+    "p07" -> "window",
+  )
+
   // ---------------------------------------------------------------- stats
 
   /** (docID, term, tf) — term frequency per document. One shuffle
@@ -53,6 +66,18 @@ object Bm25 {
       .select(col("docID"), explode(Analyzer.tokensCol(col("content"))).as("term"))
       .groupBy(col("docID"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Positional variant of [[termFreq]]: adds `positions` — the sorted
+    * 0-based token positions of the term in the document (len(positions)
+    * == tf by construction). Same single shuffle; collect_list order is
+    * made deterministic by sort_array. */
+  def termFreqWithPositions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("docID"),
+        posexplode(Analyzer.tokensCol(col("content"))).as(Seq("pos", "term")))
+      .groupBy(col("docID"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
 
   /** (docID, len) — document length in tokens. Derived from termFreq so
     * Σtf-per-doc == len by construction. */
@@ -221,6 +246,97 @@ object Bm25 {
       .select(col("docID"), col("score"))
   }
 
+  /** Column predicate: does `toks` contain the phrase tokens at
+    * consecutive positions? Pure built-ins (exists over an index
+    * sequence), guarded against sequence's descending-step surprise when
+    * the doc is shorter than the phrase. */
+  def phraseAdjCol(toks: Column, phrase: Seq[String]): Column = {
+    val m = phrase.length
+    when(size(toks) >= m,
+      exists(sequence(lit(1), size(toks) - lit(m - 1)),
+        i => phrase.zipWithIndex.map { case (w, j) =>
+          element_at(toks, (i + lit(j)).cast("int")) === lit(w)
+        }.reduce(_ && _))
+    ).otherwise(lit(false))
+  }
+
+  /** Brute-force exact-phrase BM25 top-k over [[PhraseQuerySet]]:
+    * adjacency filter on the token array, then the same pivoted
+    * fixed-association AND scoring as [[oracleTopK]]. */
+  def oraclePhraseTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val toks = docs.select(col("docID"),
+      Analyzer.tokensCol(col("content")).as("toks"))
+
+    val perQuery = PhraseQuerySet.map { case (qid, qtext) =>
+      val phrase = Analyzer.tokenize(qtext)
+      val terms = Analyzer.queryTerms(qtext)
+      val adj = toks.filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .join(adj, "docID")
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score phrase variant for internal rank-identity tests. */
+  def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
+                            k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val phrase = Analyzer.tokenize(qtext)
+    val terms  = Analyzer.queryTerms(qtext)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+    val adj = docs
+      .select(col("docID"), Analyzer.tokensCol(col("content")).as("toks"))
+      .filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
+    val pivoted = scored
+      .filter(col("term").isin(terms: _*))
+      .join(adj, "docID")
+      .groupBy(col("docID"))
+      .pivot("term", terms)
+      .agg(first(col("contrib")))
+    val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+    val score = terms.map(t => col(t)).reduce(_ + _)
+    pivoted
+      .filter(allPresent)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score disjunctive variant for internal rank-identity tests. */
   def oracleTopKOrExact(spark: SparkSession, sfDir: String, qtext: String,
                         k: Int = K): DataFrame = {
@@ -291,6 +407,65 @@ object Bm25 {
          |  FROM (
          |    SELECT docID, $cs
          |    FROM scored WHERE term IN ($inList)
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oraclePhraseTopK]]: same CTEs plus a token-array
+    * CTE; adjacency via list_filter over 1-based index range (DuckDB
+    * range(a, b) is empty when b <= a, so short docs need no guard). */
+  def oracleSqlPhraseTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tokarr AS (
+         |  SELECT doc_id AS docID,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |  FROM documents
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = PhraseQuerySet.map { case (qid, qtext) =>
+      val phrase = graft.functions.Analyzer.tokenize(qtext)
+      val terms = graft.functions.Analyzer.queryTerms(qtext)
+      val m = phrase.length
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val adjCond = phrase.zipWithIndex
+        .map { case (w, j) => s"toks[CAST(i AS BIGINT)+$j] = '$w'" }.mkString(" AND ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList) AND docID IN (
+         |      SELECT docID FROM tokarr
+         |      WHERE len(list_filter(range(1, len(toks) - ${m - 1} + 1),
+         |                            i -> $adjCond)) > 0)
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Corpus
-import graft.functions.Analyzer
+import graft.functions.{Analyzer, Native}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -233,7 +233,7 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, sfDir: String, tau: Double = CosineTau): DataFrame = {
     val e = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosineCol(col("a.embedding"), col("b.embedding")), 4))
+      .withColumn("cos", round(Native.cosine(col("a.embedding"), col("b.embedding")), 4))
       .filter(col("cos") >= tau)
       .select(col("a.vec_id").as("vecA"), col("b.vec_id").as("vecB"), col("cos"))
       .orderBy(col("vecA"), col("vecB"))

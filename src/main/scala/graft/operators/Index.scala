@@ -29,9 +29,12 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Index {
 
-  /** One term-posting with the doc/term stats needed at encode time. */
+  /** One term-posting with the doc/term stats needed at encode time.
+    * `positions` is empty for non-positional builds, else the strictly
+    * increasing token positions of the term in the document. */
   final case class TermPosting(term: String, docID: Long, tf: Long,
-                               len: Long, df: Long, bucket: Int)
+                               len: Long, df: Long, bucket: Int,
+                               positions: Array[Long])
 
   /** A compressed posting-list segment. Segments of one term cover
     * pairwise-disjoint docID ranges (salting cuts on fixed docID-chunk
@@ -43,7 +46,8 @@ object Index {
       docBlob: Array[Byte], tfBlob: Array[Byte],
       blockLastDoc: Array[Long], blockMaxTf: Array[Long],
       blockMinLen: Array[Long],
-      blockDocOff: Array[Int], blockTfOff: Array[Int])
+      blockDocOff: Array[Int], blockTfOff: Array[Int],
+      posBlob: Array[Byte], blockPosOff: Array[Int])
 
   final case class DocStat(docID: Long, len: Long)
   final case class DictEntry(term: String, df: Long, bucket: Int)
@@ -62,6 +66,9 @@ object Index {
       saltChunk: Long = 1024,      // docID-range width of one salt chunk
       segmentSize: Int = 1024,     // max postings per segment row
       partitions: Int = 32,
+      // store per-posting token positions (phrase queries). Roughly
+      // doubles index size and build encode cost; off by default.
+      storePositions: Boolean = false,
       // broadcast the (docID, len) side of the postings join below this
       // many docs — saves re-shuffling the whole tf table by docID. At
       // 10^12-file scale this is off (docstats outgrow executor memory)
@@ -74,6 +81,14 @@ object Index {
     * pruned at query time via the dictionary. */
   def bucketOf(df: Long, numBuckets: Int): Int =
     math.min(numBuckets - 1, 63 - java.lang.Long.numberOfLeadingZeros(df))
+
+  // NOTE on directory granularity: a term-hash sub-partition layer
+  // (postings/bucket=…/tpart=hash(term)%K/) was tried and reverted — at
+  // realistic segment sizes the extra directory fan-out fragments the
+  // table into tiny files, regressing both the write (many dynamic
+  // partitions per task) and the read (file-listing + task overhead).
+  // Per-term pruning instead rides on parquet row-group min/max over the
+  // term column, which the term-sorted write order makes effective.
 
   // ------------------------------------------------------------- stages
 
@@ -110,13 +125,18 @@ object Index {
     import spark.implicits._
     Files.createDirectories(Paths.get(indexDir))
 
-    // -- stage 1: term frequencies (ONE shuffle: partial+final hash agg;
-    //    written in groupBy output partitioning — stage 4 re-shuffles by
-    //    (bucket, term, salt) anyway, so any extra layout shuffle here
-    //    would be pure waste)
+    // -- stage 1: term frequencies — ONE shuffle (partial+final hash
+    //    agg); no extra layout shuffle, stage 4 re-shuffles by
+    //    (bucket, term, salt) anyway. Tokenization is CPU-bound, not
+    //    byte-bound, so its parallelism comes from the SOURCE layout:
+    //    size spark.sql.files.maxPartitionBytes / openCostInBytes (and
+    //    the corpus file count) so the scan yields ≥ cores tasks — an
+    //    explicit repartition here would add a full shuffle of raw
+    //    content on every build (measured slower at every level).
     if (!done(indexDir, "tf")) timed("tf") {
-      Bm25.termFreq(docs)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
+      val tf0 = if (p.storePositions) Bm25.termFreqWithPositions(docs)
+                else Bm25.termFreq(docs)
+      tf0.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
       val lin = spark.read.parquet(s"$indexDir/tf")
         .groupBy(spark_partition_id().as("partitionId"))
         .agg(count(lit(1)).as("rowCount"), sum(col("tf")).as("tokenCount"))
@@ -126,6 +146,15 @@ object Index {
       appendLineage(spark, indexDir, lin)
       mark(indexDir, "tf")
     }
+    buildFromTf(spark, indexDir, p)
+  }
+
+  /** Stages 2-4, driven from an existing stage-1 tf table at
+    * `indexDir/tf` — shared by the normal build and by LSM compaction
+    * (which unions constituent tf tables instead of re-tokenizing). */
+  def buildFromTf(spark: SparkSession, indexDir: String,
+                  p: BuildParams = BuildParams()): Unit = {
+    import spark.implicits._
     val tf = spark.read.parquet(s"$indexDir/tf")
 
     // -- stage 2: doc lengths + corpus stats
@@ -193,8 +222,11 @@ object Index {
         .withColumn("salt",
           when(col("df") > p.saltThreshold,
             floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
+        .withColumn("positions",
+          if (p.storePositions) col("positions")
+          else array().cast("array<bigint>"))
         .select(col("term"), col("docID"), col("tf"), col("len"),
-          col("df"), col("bucket"), col("salt"))
+          col("df"), col("bucket"), col("salt"), col("positions"))
 
       val segs = salted
         .repartition(p.partitions, col("bucket"), col("term"), col("salt"))
@@ -233,6 +265,8 @@ object Index {
         val ids = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         val tfs = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         val lens = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
+        val poss = if (p.storePositions)
+          new ArrayBuffer[Array[Long]](math.min(p.segmentSize, 64)) else null
         var continue = true
         while (continue && it.hasNext) {
           val r = it.head
@@ -245,16 +279,19 @@ object Index {
             ids += r.docID
             tfs += r.tf
             lens += r.len
+            if (poss != null) poss += r.positions
             it.next()
           }
         }
         val idArr = ids.toArray
-        val blocks = Codec.encodeBlocks(idArr, tfs.toArray, lens.toArray)
+        val blocks = Codec.encodeBlocks(idArr, tfs.toArray, lens.toArray,
+          if (poss == null) null else poss.toArray)
         PostingSegment(term, first.bucket, first.df,
           idArr.head, idArr.last, idArr.length,
           blocks.docBlob, blocks.tfBlob,
           blocks.blockLastDoc, blocks.blockMaxTf, blocks.blockMinLen,
-          blocks.blockDocOff, blocks.blockTfOff)
+          blocks.blockDocOff, blocks.blockTfOff,
+          blocks.posBlob, blocks.blockPosOff)
       }
     }
 
@@ -271,16 +308,23 @@ object Index {
   }
 
   def readSegments(spark: SparkSession, indexDir: String,
+                   terms: Seq[String], buckets: Seq[Int]): Dataset[PostingSegment] =
+    segmentsFrom(spark, spark.read.parquet(s"$indexDir/postings"), terms, buckets)
+
+  /** Pruned typed view over an already-opened postings DataFrame (lets a
+    * query session reuse one file listing across queries). */
+  def segmentsFrom(spark: SparkSession, postings: DataFrame,
                    terms: Seq[String], buckets: Seq[Int]): Dataset[PostingSegment] = {
     import spark.implicits._
     // bucket filter → partition-directory pruning; term filter → pushed
     // to parquet row-group min/max (segments written term-sorted).
-    spark.read.parquet(s"$indexDir/postings")
+    postings
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("bucket"), col("df"), col("minDoc"),
         col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
         col("blockLastDoc"), col("blockMaxTf"), col("blockMinLen"),
-        col("blockDocOff"), col("blockTfOff"))
+        col("blockDocOff"), col("blockTfOff"),
+        col("posBlob"), col("blockPosOff"))
       .as[PostingSegment]
   }
 

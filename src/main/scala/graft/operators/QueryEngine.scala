@@ -50,16 +50,21 @@ object QueryEngine {
     * skip (minDoc/maxDoc), block-level skip (binary search on
     * blockLastDoc), and lazy block decode. */
   final class PostingListIterator(segments: Array[PostingSegment],
-                                  avgdl: Double) {
+                                  avgdl: Double,
+                                  needPositions: Boolean = false) {
     require(segments.nonEmpty)
     private var segIdx = 0
     private var blkIdx = -1
     private var ids: Array[Long] = null
     private var tfs: Array[Long] = null
+    private var poss: Array[Array[Long]] = null
     private var pos = 0
     var docID: Long = -1L
     var tf: Long = 0L
     private var exhaustedFlag = false
+
+    /** Token positions of the current posting (positional indexes only). */
+    def positions: Array[Long] = poss(pos)
 
     def exhausted: Boolean = exhaustedFlag
     private def seg: PostingSegment = segments(segIdx)
@@ -79,6 +84,11 @@ object QueryEngine {
       val (i, t) = Codec.decodeBlock(seg.docBlob, seg.tfBlob,
         seg.blockDocOff(b), seg.blockTfOff(b), cnt)
       ids = i; tfs = t; pos = 0
+      if (needPositions) {
+        require(seg.posBlob.nonEmpty,
+          "phrase query against a non-positional index (storePositions=false)")
+        poss = Codec.decodePositionsBlock(seg.posBlob, seg.blockPosOff(b), cnt)
+      }
     }
 
     /** Position at the first posting with docID >= target. */
@@ -135,10 +145,60 @@ object QueryEngine {
       lenOf: Long => Long,
       avgdl: Double,
       lo: Long, hi: Long, k: Int,
-      rounded: Boolean): Seq[ScoredDoc] = {
+      rounded: Boolean): Seq[ScoredDoc] =
+    conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
+      rounded, null)
+
+  /** Exact-phrase variant: conjunctive WAND whose aligned candidates must
+    * additionally contain the phrase tokens at CONSECUTIVE positions
+    * (positional index required). Scoring is plain BM25 over the
+    * phrase's distinct terms — identical to the AND score, gated by the
+    * adjacency test, so all WAND bounds stay admissible (phrase matches
+    * ⊆ AND matches). */
+  def phraseRange(phraseSeq: Array[String])(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, k: Int,
+      rounded: Boolean): Seq[ScoredDoc] =
+    conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
+      rounded, phraseSeq)
+
+  /** Does any occurrence of the full phrase start at some position p?
+    * byTerm maps each distinct phrase term to its (sorted) positions in
+    * the candidate document. */
+  def phraseMatch(byTerm: Map[String, Array[Long]],
+                  phrase: Array[String]): Boolean = {
+    val first = byTerm(phrase(0))
+    var i = 0
+    while (i < first.length) {
+      val p = first(i)
+      var j = 1
+      var ok = true
+      while (ok && j < phrase.length) {
+        ok = java.util.Arrays.binarySearch(byTerm(phrase(j)), p + j) >= 0
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  private def conjunctiveRange(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, k: Int,
+      rounded: Boolean,
+      phraseSeq: Array[String]): Seq[ScoredDoc] = {
     val n = termsSorted.length
     if (n == 0 || segsByTerm.size < n) return Nil
-    val iters = termsSorted.map(tc => new PostingListIterator(segsByTerm(tc.term), avgdl))
+    val needPos = phraseSeq != null
+    val iters = termsSorted.map(tc =>
+      new PostingListIterator(segsByTerm(tc.term), avgdl, needPos))
     iters.foreach(_.advance(lo))
     if (iters.exists(_.exhausted)) return Nil
     // driver order: rarest first minimizes advance() work
@@ -188,6 +248,12 @@ object QueryEngine {
           // no doc in (candidate, minLast] can beat the threshold
           val skipTo = math.max(candidate + 1, minLast + 1)
           iters(order(0)).advance(skipTo)
+        } else if (phraseSeq != null && !phraseMatch(
+            termsSorted.iterator.zipWithIndex
+              .map { case (tc, ti) => tc.term -> iters(ti).positions }.toMap,
+            phraseSeq)) {
+          // all terms present but never consecutively — not a phrase hit
+          iters(order(0)).advance(candidate + 1)
         } else {
           // exact score, fixed ascending-term association
           val len = lenOf(candidate)
@@ -427,6 +493,15 @@ final class QueryEngine(
   private def allDocStats =
     indexDirs.map(d => Index.readDocStats(spark, d)).reduce(_ union _)
 
+  /** One postings DataFrame per constituent index, opened once — the
+    * file listing / schema read would otherwise repeat on every query. */
+  private val postingsByDir: Map[String, DataFrame] =
+    indexDirs.map(d => d -> spark.read.parquet(s"$d/postings")).toMap
+
+  private def segmentsOf(dir: String, terms: Seq[String],
+                         buckets: Seq[Int]) =
+    Index.segmentsFrom(spark, postingsByDir(dir), terms, buckets)
+
   /** Small-corpus path: norms as a broadcast primitive-friendly map. */
   private val normsBc =
     if (useBroadcastNorms) {
@@ -458,11 +533,19 @@ final class QueryEngine(
   def topKOr(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = true)
 
+  /** Exact-phrase variant: docs containing the query tokens at
+    * consecutive positions, BM25-scored over the distinct terms.
+    * Requires an index built with storePositions=true. */
+  def topKPhrase(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode = false, phraseMode = true)
+
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
-                       orMode: Boolean): DataFrame = {
+                       orMode: Boolean, phraseMode: Boolean = false): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
+    val phraseSeq: Array[String] =
+      if (phraseMode) Analyzer.tokenize(qtext).toArray else null
     val perDir = lookupPerDir(terms)
     // exact combined df: sum of per-index dfs (docID ranges are disjoint)
     val combinedDf: Map[String, Long] =
@@ -485,7 +568,9 @@ final class QueryEngine(
     val rnd = rounded
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      if (orMode) wandOrRange else wandRange
+      if (phraseSeq != null) phraseRange(phraseSeq)
+      else if (orMode) wandOrRange
+      else wandRange
 
     // ---- physical path selection ------------------------------------
     // SCAN path (default): zero per-query shuffle. The highest-df
@@ -510,21 +595,25 @@ final class QueryEngine(
     val local: org.apache.spark.sql.Dataset[ScoredDoc] =
     if (scanPath) {
       val bc = normsBc.get
+      val para = spark.sparkContext.defaultParallelism
       val sideByTerm: Map[String, Array[PostingSegment]] =
         indexDirs.zip(perDir).flatMap { case (dir, es) =>
           val se = es.filter(_.term != driverTerm)
           if (se.isEmpty) Nil
-          else Index.readSegments(spark, dir, se.map(_.term),
-            se.map(_.bucket).distinct).collect().toSeq
+          else segmentsOf(dir, se.map(_.term),
+            se.map(_.bucket).distinct).coalesce(para).collect().toSeq
         }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
       val sideBc = spark.sparkContext.broadcast(sideByTerm)
+      // coalesce: the pruned read otherwise yields one micro-task per
+      // index file — scheduling dominates at interactive latency
       val driverSegs = indexDirs.zip(perDir)
         .filter(_._2.exists(_.term == driverTerm))
         .map { case (dir, es) =>
-          Index.readSegments(spark, dir, Seq(driverTerm),
+          segmentsOf(dir, Seq(driverTerm),
             es.filter(_.term == driverTerm).map(_.bucket).distinct)
         }
         .reduce(_ union _)
+        .coalesce(para)
       val tc = termCtx
       val dt = driverTerm
       val av = avgdl
@@ -542,7 +631,7 @@ final class QueryEngine(
       val segs = indexDirs.zip(perDir)
         .filter(_._2.nonEmpty)
         .map { case (dir, es) =>
-          Index.readSegments(spark, dir, es.map(_.term), es.map(_.bucket).distinct)
+          segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
         }
         .reduce(_ union _)
       val ranged = segs.flatMap { s =>
@@ -592,11 +681,21 @@ final class QueryEngine(
   /** Driver-contract shape over the whole fixed query set:
     * (query, rank, docID, score) with rounded ranking — column-identical
     * to Bm25.oracleTopK / its DuckDB SQL twin. */
-  def topKAll(k: Int = Bm25.K, orMode: Boolean = false): DataFrame = {
+  def topKAll(k: Int = Bm25.K, orMode: Boolean = false): DataFrame =
+    contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = orMode)
+    })
+
+  /** Driver-contract frame over the fixed PHRASE query set. */
+  def topKAllPhrase(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.PhraseQuerySet.map { case (qid, qtext) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = false, phraseMode = true)
+    })
+
+  private def contractFrame(perQuery: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Bm25.QuerySet.map { case (qid, qtext) =>
-      topKImpl(qtext, k, rounded = true, orMode = orMode)
-        .withColumn("rank",
+    perQuery.map { case (qid, df) =>
+      df.withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
         .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
     }.reduce(_ unionAll _).orderBy(col("query"), col("rank"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Corpus
+import graft.functions.Native
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Dedup.cosineCol(col("qv"), col("embedding")), 4))
+      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
@@ -167,7 +168,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     asg.join(broadcast(probes),
         asg("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Dedup.cosineCol(col("qv"), col("embedding")), 4))
+      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
@@ -198,7 +199,7 @@ object Similarity {
     // so the join cannot duplicate (query, vec) pairs
     e.join(broadcast(q),
         col("sig") === col("probe") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Dedup.cosineCol(col("qv"), col("embedding")), 4))
+      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))

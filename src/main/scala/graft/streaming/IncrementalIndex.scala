@@ -70,4 +70,29 @@ object IncrementalIndex {
   def engine(spark: SparkSession, baseDir: String,
              baseIndex: Option[String] = None): QueryEngine =
     new QueryEngine(spark, baseIndex.toSeq ++ deltaDirs(baseDir))
+
+  /** Compact N constituent indexes into one: union their stage-1 tf
+    * tables (docID ranges are disjoint, so the union IS the combined tf
+    * — no re-tokenization of content), then run stages 2-4. Result is
+    * byte-equivalent in meaning to a one-shot build over the combined
+    * corpus: same stats, same dictionary, same postings semantics —
+    * asserted rank-identical in StreamingSpec. Callers swap the old
+    * dirs for `outDir` once `deltaDirs`-style completion (the
+    * `_done_postings` marker) appears. */
+  def compact(spark: SparkSession, dirs: Seq[String], outDir: String,
+              p: Index.BuildParams = Index.BuildParams()): Unit = {
+    require(dirs.nonEmpty)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/_done_tf"))) {
+      dirs.map(d => spark.read.parquet(s"$d/tf"))
+        .reduce(_ unionByName _)
+        .repartition(p.partitions)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/tf")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/_done_tf"), Array.emptyByteArray)
+    }
+    Index.buildFromTf(spark, outDir, p)
+  }
 }

@@ -74,6 +74,26 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("positions blob: per-block round-trip (property)") {
+    forAllGen(sortedIds.suchThat(_.nonEmpty)) { ids =>
+      val tfs = ids.map(i => (i % 5) + 1)
+      val lens = ids.map(i => (i % 13) + 5)
+      // strictly increasing positions per posting, length == tf
+      val poss = ids.zip(tfs).map { case (id, tf) =>
+        Array.iterate(id % 7, tf.toInt)(_ + 1 + (id % 3))
+      }
+      val b = Codec.encodeBlocks(ids, tfs, lens, poss)
+      val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
+      for (blk <- 0 until nBlocks) {
+        val cnt = Codec.blockCount(ids.length, blk)
+        val got = Codec.decodePositionsBlock(b.posBlob, b.blockPosOff(blk), cnt)
+        val start = blk * Codec.BlockSize
+        for (i <- 0 until cnt)
+          assert(got(i).sameElements(poss(start + i)))
+      }
+    }
+  }
+
   test("compression is effective on dense lists") {
     val ids = Array.tabulate(10000)(i => 1000000L + i * 2)
     val enc = Codec.encodeDeltas(ids)

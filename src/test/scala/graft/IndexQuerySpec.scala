@@ -102,6 +102,48 @@ class IndexQuerySpec extends AnyFunSuite {
       collectTopK(engine.topK("window")))
   }
 
+  private lazy val posEngine: QueryEngine = {
+    val posDir = "target/test-index-pos-sf0001"
+    new Directory(new java.io.File(posDir)).deleteRecursively()
+    Index.build(spark, sfDir, posDir,
+      BuildParams(numBuckets = 8, saltThreshold = 50, saltChunk = 64,
+        segmentSize = 128, partitions = 4, storePositions = true))
+    new QueryEngine(spark, Seq(posDir))
+  }
+
+  test("phrase: rank-identity vs exact phrase oracle (every phrase query)") {
+    for ((qid, qtext) <- Bm25.PhraseQuerySet) {
+      val oracle = collectTopK(Bm25.oraclePhraseTopKExact(spark, sfDir, qtext))
+      val indexed = collectTopK(posEngine.topKPhrase(qtext, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid '$qtext': phrase ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+      if (qid == "p01" || qid == "p03" || qid == "p04")
+        assert(oracle.nonEmpty, s"$qid should match documents in this corpus")
+    }
+  }
+
+  test("phrase: rounded driver-contract frame matches brute-force phrase oracle") {
+    val oracle = Bm25.oraclePhraseTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = posEngine.topKAllPhrase().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("phrase: single word ≡ AND; phrase result ⊆ AND result; non-positional index rejected") {
+    built
+    assert(collectTopK(posEngine.topKPhrase("window")) ==
+      collectTopK(posEngine.topK("window")))
+    val andDocs = collectTopK(posEngine.topK("table hash", k = 1000)).map(_._1).toSet
+    val phraseDocs = collectTopK(posEngine.topKPhrase("table hash", k = 1000)).map(_._1).toSet
+    assert(phraseDocs.nonEmpty && phraseDocs.subsetOf(andDocs))
+    val e = intercept[Exception] {
+      engine.topKPhrase("table hash").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("empty query and absent term give empty results (AND semantics)") {
     built
     assert(engine.topK("").count() == 0)
@@ -136,7 +178,8 @@ class IndexQuerySpec extends AnyFunSuite {
       .select(col("term"), col("bucket"), col("df"), col("minDoc"),
         col("maxDoc"), col("count"), col("docBlob"), col("tfBlob"),
         col("blockLastDoc"), col("blockMaxTf"), col("blockMinLen"),
-        col("blockDocOff"), col("blockTfOff"))
+        col("blockDocOff"), col("blockTfOff"),
+        col("posBlob"), col("blockPosOff"))
       .as[PostingSegment].collect()
     var totalPostings = 0L
     var totalTf = 0L

@@ -66,6 +66,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"implausibly low LSH recall: $recall")
   }
 
+  test("native cosine Expression bit-equal to the higher-order-function formula") {
+    import graft.functions.Native
+    val e = Corpus.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 40)
+      .select(
+        Native.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Dedup.cosineCol(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // same accumulation order + same op sequence → exact equality
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // null propagation
+    val row = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<FLOAT>) AS a, array(CAST(1.0 AS FLOAT)) AS b")
+    assert(row.select(Native.cosine(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("ann IVF top-k: shape correct, measured recall vs brute force") {
     val rows = Similarity.ivfTopK(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))

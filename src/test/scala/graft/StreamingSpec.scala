@@ -59,6 +59,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ao == bo)
   }
 
+  test("compaction of deltas == one-shot build (rank-identical, same stats)") {
+    // depends on the ingestion test's outputs; rebuild if absent
+    val lsm = "target/test-stream-lsm"
+    val full = "target/test-stream-full"
+    val compacted = "target/test-stream-compacted"
+    assume(IncrementalIndex.deltaDirs(lsm).size == 3,
+      "ingestion test must have run first")
+    new Directory(new java.io.File(compacted)).deleteRecursively()
+    val params = BuildParams(numBuckets = 8, saltThreshold = 50,
+      saltChunk = 64, segmentSize = 128, partitions = 4)
+    IncrementalIndex.compact(spark, IncrementalIndex.deltaDirs(lsm), compacted, params)
+    val c = new QueryEngine(spark, Seq(compacted))
+    val oneShot = new QueryEngine(spark, Seq(full))
+    assert(c.stats == oneShot.stats)
+    assert(c.topKAll().collect().map(_.toSeq).toSeq ==
+      oneShot.topKAll().collect().map(_.toSeq).toSeq)
+  }
+
   test("incremental ingestion is idempotent under batch replay") {
     import spark.implicits._
     val lsm = "target/test-stream-replay"
