@@ -42,7 +42,7 @@ object Explain {
     val indexDir = "/tmp/graft/explain_index"
     Index.build(spark, sfDir, indexDir)
     show("postings scan for a 2-term query (pruned)",
-      "Expect: PartitionFilters on bucket+tpart (directory pruning), " +
+      "Expect: PartitionFilters on bucket (directory pruning), " +
         "PushedFilters on term (row-group stats).",
       Index.readSegments(spark, indexDir, Seq("hash", "join"),
         Seq(Index.bucketOf(100, 16), Index.bucketOf(400, 16), 7, 8, 9)
