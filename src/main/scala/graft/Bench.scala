@@ -44,6 +44,10 @@ object Bench {
       // multi-GB per task and spills — and spills get WORSE at higher
       // concurrency (execution memory is shared), inverting the scaling
       .config("spark.sql.shuffle.partitions", 128)
+      // keep the 128 data-sized partitions at every level: AQE would
+      // coalesce them toward each level's core count, changing per-task
+      // memory pressure (and spill behavior) between the levels compared
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the corpus is compact compressed parquet but tokenization is
