@@ -85,19 +85,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.bruteJaccard(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshDedup(s, dir)),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir, dumpOracle = true)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
 
     // -- similarity search over embeddings
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
-    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
-    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir, dumpOracle = true)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir, dumpOracle = true)),
 
     // -- text analysis
     "token_stats" -> ((s, dir) => TextStats.tokenStats(s, dir)),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
-    "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
+    "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
 
     // -- multimodal plumbing (decode stubbed; schema/batch shape real)
     "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
@@ -173,6 +173,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.jaccardSql(),
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "ann_cosine_topk" -> Similarity.bruteTopKSql(),
+    // materialized-artifact oracles (see OracleSide): the DuckDB twin
+    // recomputes the full post-hash pipeline (bucket join / probe
+    // selection / rerank / rank) from the dumped signature tables
+    "ann_lsh_topk" -> Similarity.lshTopKSql(),
+    "ann_ivf_topk" -> Similarity.ivfTopKSql(),
+    "dedup_simhash" -> Dedup.simhashDedupSql(),
+    "doc_fingerprints" -> TextStats.fingerprintsSql,
     "token_stats" -> TextStats.tokenStatsSql,
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,

@@ -147,18 +147,28 @@ object Dedup {
   /** The scale path: LSH candidates → exact Jaccard verify ≥ tau. Output
     * contract identical to [[bruteJaccard]] (and tested equal on the
     * fixtures — recall of 32×4 banding at τ=0.8 is 1 − (1−0.8⁴)³²
-    * ≈ 1 − 5·10⁻⁸ per pair). */
+    * ≈ 1 − 5·10⁻⁸ per pair).
+    *
+    * Verify stage is CO-GROUPED (VERDICT r1 #4): the candidate pairs
+    * join back to the flat (docID, shingle) table twice and intersect by
+    * counting matched shingles — rows stay one-shingle-wide, so a long
+    * document never materializes its whole shingle set in a single row
+    * (the round-1 collect_set verify blew up row size on long docs). */
   def minhashLshDedup(spark: SparkSession, sfDir: String, tau: Double = JaccardTau): DataFrame = {
     val sh = shingles(Corpus.docs(spark, sfDir)).cache()
     val cands = lshCandidates(minhashSignatures(sh))
-    val sets = sh.groupBy(col("docID")).agg(collect_set(col("shingle")).as("set"))
-    cands
-      .join(sets.select(col("docID").as("docA"), col("set").as("setA")), "docA")
-      .join(sets.select(col("docID").as("docB"), col("set").as("setB")), "docB")
-      .withColumn("inter", size(array_intersect(col("setA"), col("setB"))).cast("long"))
+    val sizes = sh.groupBy(col("docID")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("docID").as("docA"), col("shingle")), "docA")
+      .join(sh.select(col("docID").as("docB"), col("shingle")), Seq("docB", "shingle"))
+      .groupBy(col("docA"), col("docB"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("docID").as("docA"), col("sz").as("szA")), "docA")
+      .join(sizes.select(col("docID").as("docB"), col("sz").as("szB")), "docB")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("setA")) + size(col("setB")) - col("inter")), 4))
+          (col("szA") + col("szB") - col("inter")), 4))
       .filter(col("jaccard") >= tau)
       .select(col("docA"), col("docB"), col("jaccard"))
       .orderBy(col("docA"), col("docB"))
@@ -184,10 +194,14 @@ object Dedup {
 
   /** Near-dup pairs with hamming(sigA, sigB) ≤ maxHamming via 4×16-bit
     * band equi-join (any pair within hamming 3 shares ≥1 exact band —
-    * pigeonhole), avoiding the O(N²) cross join. */
+    * pigeonhole), avoiding the O(N²) cross join. When `dumpOracle`, the
+    * signature table is materialized so [[simhashDedupSql]] can recompute
+    * banding → equi-join → hamming → filter relationally in DuckDB. */
   def simhashDedup(spark: SparkSession, sfDir: String,
-                   maxHamming: Int = SimhashMaxHamming): DataFrame = {
+                   maxHamming: Int = SimhashMaxHamming,
+                   dumpOracle: Boolean = false): DataFrame = {
     val sigs = simhashSignatures(Corpus.docs(spark, sfDir)).cache()
+    if (dumpOracle) graft.OracleSide.dump("simhash_sigs", sigs)
     val nBands = maxHamming + 1 // pigeonhole: h ≤ 3 ⇒ one of 4 bands equal
     val width = SimhashBits / nBands
     val banded = sigs.select(col("docID"), col("sig"),
@@ -204,6 +218,31 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("docA"), col("docB"))
+  }
+
+  /** DuckDB twin over the materialized signature table: the banded
+    * equi-join, XOR popcount and threshold are pure relational algebra —
+    * only the signature hash itself stays Spark-side (gated by the
+    * banded==brute test in PipelineOpsSpec). DuckDB's `>>` is arithmetic
+    * like Spark's shiftright; the & 65535 mask makes them agree on the
+    * sign-bit band. */
+  def simhashDedupSql(maxHamming: Int = SimhashMaxHamming): String = {
+    val nBands = maxHamming + 1
+    val width = SimhashBits / nBands
+    val bands = (0 until nBands).mkString(", ")
+    s"""WITH s AS (SELECT docID, sig FROM ${graft.OracleSide.glob("simhash_sigs")}),
+       |b AS (
+       |  SELECT docID, sig, band, (sig >> (band * $width)) & ${(1L << width) - 1} AS bh
+       |  FROM s, (SELECT unnest([$bands]) AS band) t
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.docID AS docA, b2.docID AS docB,
+       |         CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bh = b2.bh
+       |                    AND a.docID < b2.docID
+       |)
+       |SELECT docA, docB, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY docA, docB""".stripMargin
   }
 
   /** Oracle-free cross-join reference for tests (small scale only). */

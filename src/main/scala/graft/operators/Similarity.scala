@@ -1,23 +1,38 @@
 package graft.operators
 
-import graft.Corpus
+import graft.{Corpus, OracleSide}
 import graft.functions.Native
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Similarity search over the embeddings table (vec_id, embedding:
   * array<float>, label).
   *
-  * Two paths, same contract:
-  *   - [[bruteTopK]]: exact cosine top-k per query — O(Q·N) broadcast
-  *     join; the correctness oracle, and still the right plan when Q·N
-  *     is small (broadcast the queries, scan the corpus once).
-  *   - [[lshTopK]]: random-hyperplane LSH bucketing — the scale path;
-  *     queries probe only their own signature bucket (plus a multiprobe
-  *     ring at hamming 1), so the scan cost per query drops from N to
-  *     the bucket population. Approximate by construction: recall vs
-  *     [[bruteTopK]] is measured in tests, not assumed.
+  * Three paths, same output contract (query_id, rank, vec_id, cos):
+  *   - [[bruteTopK]]: exact cosine top-k per query — broadcast the
+  *     queries, scan the corpus once; the correctness oracle and the
+  *     right plan whenever the corpus scan is affordable.
+  *   - [[lshTopK]]: L independent random-hyperplane tables, each probed
+  *     at exactly ONE bucket per query. Planes are corpus-scaled
+  *     ([[lshPlanes]]) so the candidate work per query is ~L·(mean
+  *     bucket population) — constant as the corpus grows — instead of a
+  *     constant FRACTION of the corpus (the round-1 multiprobe-ring
+  *     design scanned ~1/3 of it). Recall comes from table count, not
+  *     from widening the probe ring.
+  *   - [[ivfTopK]]: inverted-file ANN — k-means cells, query probes the
+  *     nprobe nearest cells, exact rerank inside them.
+  *
+  * Scale plan (100 TB): both index artifacts — the LSH signature table
+  * and the IVF (assignment, centroids) pair — are one-pass, shuffle-light
+  * builds: LSH signatures are a pure projection (zero shuffle); IVF
+  * assignment is a per-row argmin against the BROADCAST centroid array
+  * (zero shuffle — the round-1 crossJoin+window plan shuffled nlist× the
+  * corpus per Lloyd round), and each Lloyd update is one partial-agg
+  * shuffle of nlist rows. Centroid sums use scaled-long arithmetic so
+  * training is bit-deterministic under any partitioning (long addition
+  * commutes; double addition does not).
   *
   * All cosines computed in double; externally-compared outputs round to
   * 4 decimals and rank by the rounded value (same contract as BM25).
@@ -27,48 +42,83 @@ object Similarity {
   val K = 10
   val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
-  /** Few planes + a hamming-≤2 multiprobe ring: 64 buckets, 22 probed —
-    * candidate set ≈ 1/3 of the corpus per query at any scale (the
-    * recall/cost knob; raise planes as the corpus grows). */
-  val Hyperplanes = 6
+  // ------------------------------------------------------------- LSH
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * ±1 by bit parity of a splitmix-style integer hash of (p, j). No RNG
-    * state — executors recompute identically. */
-  def planeSign(p: Int, j: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+  /** Independent hash tables; recall ≈ 1 − (1 − p^P)^L for pair
+    * collision prob p = 1 − θ/π. */
+  val LshTables = 8
+
+  /** Planes per table, scaled to the corpus: P = floor(log2(N/4))
+    * clamped to [4, 24] — targets mean bucket population ~4, so the
+    * per-query candidate set is ~L·4 + near-duplicate mass at ANY corpus
+    * size (candidate fraction ≈ L·2^-P → ≤1% once N ≳ 4·2^10). */
+  def lshPlanes(n: Long): Int = {
+    val target = math.max(1L, n / 4)
+    math.min(24, math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(target)))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p of
+    * table t is ±1 by bit parity of a splitmix-style integer hash. No
+    * RNG state — executors recompute identically. */
+  def planeSign(table: Int, p: Int, j: Int): Double = {
+    var z = (table.toLong * 0x9E3779B97F4A7C15L + p.toLong) * 0xD1B54A32D192ED03L +
+      j.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
     if (java.lang.Long.bitCount(z) % 2 == 0) 1.0 else -1.0
   }
 
-  /** LSH signature column: bit p of the signature = sign of ⟨v, plane_p⟩. */
-  def signatureCol(v: Column, dim: Int): Column =
-    (0 until Hyperplanes).map { p =>
-      val dot = aggregate(
-        zip_with(v, array((0 until dim).map(j => lit(planeSign(p, j))): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+  private def planeLit(table: Int, p: Int, dim: Int): Column =
+    typedLit((0 until dim).map(j => planeSign(table, p, j)))
+
+  /** Signature in one table: bit p = sign of ⟨v, plane_{t,p}⟩ — via the
+    * codegen'd cosine (same sign as the dot; norms are positive). */
+  def signatureCol(v: Column, dim: Int, table: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(Native.cosine(v, planeLit(table, p, dim)) > 0,
+        shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** The LSH index artifact: (vec_id, tbl, sig) — L rows per vector,
+    * computed in one shuffle-free projection pass. */
+  def lshSignatures(e: DataFrame, dim: Int, planes: Int,
+                    tables: Int = LshTables): DataFrame = {
+    val ts = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        signatureCol(col("embedding"), dim, t, planes).as("sig")))
+    e.select(col("vec_id"), explode(array(ts: _*)).as("ts"))
+      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+  }
+
+  private def embeddingsOf(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  private def dimOf(e: DataFrame): Int =
+    e.select(size(col("embedding"))).head().getInt(0)
+
+  private def rankContract(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Exact cosine top-k neighbors for each query vec_id (self excluded):
     * (query_id, rank, vec_id, cos) ranked by (cos desc, vec_id asc) on
     * the 4-decimal-rounded cosine. */
   def bruteTopK(spark: SparkSession, sfDir: String,
                 queryIds: Seq[Long] = QueryIds, k: Int = K): DataFrame = {
-    val e = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val e = embeddingsOf(spark, sfDir)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    rankContract(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4)),
+      k)
   }
 
   def bruteTopKSql(queryIds: Seq[Long] = QueryIds, k: Int = K): String = {
@@ -89,120 +139,220 @@ object Similarity {
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** IVF (inverted-file) ANN: partition vectors into nlist Voronoi cells
-    * around k-means centroids; a query scans only the nprobe nearest
-    * cells. The 100 TB shape: the centroid table is tiny (broadcast), the
-    * corpus is hash-partitioned by cell → a probe is a partition-pruned
-    * scan + exact rerank, no all-pairs anything.
-    *
-    * Deterministic training, no RNG state: centroids init from evenly
-    * spaced vec_ids (corpus order), then [[IvfIters]] Lloyd rounds as
-    * groupBy-avg DataFrame jobs (each round: one broadcast join + one
-    * shuffle). Assignment ties break on lower centroid id via the
-    * (dist asc, cid asc) ordering. */
+  /** LSH approximate top-k: each query probes its own bucket in each of
+    * the L tables (no multiprobe ring); exact cosine rerank over the
+    * distinct candidate union. When `dumpOracle`, the signature table is
+    * materialized for the DuckDB twin ([[lshTopKSql]]), which recomputes
+    * bucket join → rerank → rank from it. */
+  def lshTopK(spark: SparkSession, sfDir: String,
+              queryIds: Seq[Long] = QueryIds, k: Int = K,
+              tables: Int = LshTables, planesOverride: Int = -1,
+              dumpOracle: Boolean = false): DataFrame = {
+    val e = embeddingsOf(spark, sfDir)
+    val dim = dimOf(e)
+    val planes = if (planesOverride > 0) planesOverride else lshPlanes(e.count())
+    val sigs = lshSignatures(e, dim, planes, tables)
+    if (dumpOracle) OracleSide.dump("lsh_sigs", sigs)
+    rankContract(lshRerank(e, sigs, queryIds), k)
+  }
+
+  /** Bucket-join candidates (distinct) → exact cosine. Exposed for the
+    * recall/candidate-fraction tests on synthetic fixtures. */
+  def lshCandidatePairs(e: DataFrame, sigs: DataFrame,
+                        queryIds: Seq[Long]): DataFrame = {
+    val qs = sigs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+        col("sig").as("qsig"))
+    sigs.join(broadcast(qs),
+        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+  }
+
+  private def lshRerank(e: DataFrame, sigs: DataFrame,
+                        queryIds: Seq[Long]): DataFrame = {
+    val cand = lshCandidatePairs(e, sigs, queryIds)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    cand.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** DuckDB twin: bucket join + rerank + rank over the materialized
+    * signature table — gates everything downstream of the plane hash. */
+  def lshTopKSql(queryIds: Seq[Long] = QueryIds, k: Int = K): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH s AS (SELECT vec_id, tbl, sig FROM ${OracleSide.glob("lsh_sigs")}),
+       |q AS (SELECT vec_id AS query_id, tbl, sig FROM s WHERE vec_id IN ($ids)),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, s.vec_id
+       |  FROM q JOIN s ON s.tbl = q.tbl AND s.sig = q.sig
+       |               AND s.vec_id <> q.query_id
+       |),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |               CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------- IVF
+
   val IvfNlist = 16
   val IvfNprobe = 4
   val IvfIters = 3
 
-  /** (vec_id, embedding, cell) assignment plus the centroid table
-    * (cid, centroid: array<double>). */
+  /** Fixed-point scale for centroid accumulation: component sums are
+    * rounded to 1e-7 and summed as LONGS, so the Lloyd update is
+    * bit-deterministic under any partitioning / shuffle order (ADVICE
+    * r1: double groupBy sums made near-tie assignments session-flaky). */
+  val CentScale = 1e7
+
+  /** Per-row argmin over the LITERAL centroid array — ties break on
+    * lower cid via struct ordering. Zero shuffle, no window, no join. */
+  def cellCol(cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, cid) =>
+      val dist = aggregate(
+        zip_with(col("embedding"), typedLit(c.toSeq),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(dist.as("dist"), lit(cid).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
+  }
+
+  /** Deterministic k-means: centroids init from evenly spaced vec_ids
+    * (corpus order), then `iters` Lloyd rounds — each round is ONE job:
+    * per-row argmin assignment (no shuffle) + a partial-agg groupBy that
+    * shuffles only nlist rows of long sums. Returns the final
+    * (vec_id, embedding, cell) assignment and the centroid table. */
   def ivfModel(spark: SparkSession, sfDir: String,
-               nlist: Int = IvfNlist, iters: Int = IvfIters): (DataFrame, DataFrame) = {
-    val e = Corpus.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
+               nlist: Int = IvfNlist, iters: Int = IvfIters): (DataFrame, Array[Array[Double]]) = {
+    val e = embeddingsOf(spark, sfDir)
     val n = e.count()
     val step = math.max(1L, n / nlist)
     val seedIds = (0 until nlist).map(i => i * step)
-    var cents = e.filter(col("vec_id").isin(seedIds: _*))
+    var cents: Array[Array[Double]] = e.filter(col("vec_id").isin(seedIds: _*))
       .orderBy(col("vec_id")).limit(nlist)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
-        transform(col("embedding"), _.cast("double")).as("centroid"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    def assign(c: DataFrame): DataFrame =
-      e.crossJoin(broadcast(c))
-        .withColumn("dist",
-          aggregate(zip_with(col("embedding"), col("centroid"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-    val dim = Corpus.embeddings(spark, sfDir)
-      .select(size(col("embedding"))).head().getInt(0)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = cents(0).length
     for (_ <- 0 until iters) {
-      val asg = assign(cents)
-      // new centroid = element-wise mean of the cell's members
-      val sums = asg
-        .select(col("cell"), transform(col("embedding"), _.cast("double")).as("v"))
+      val sumCols = (0 until dim).map(j =>
+        sum(round(element_at(col("embedding"), j + 1).cast("double") * CentScale)
+          .cast("long")))
+      val rows = e.withColumn("cell", cellCol(cents))
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("cnt"),
-          array((0 until dim).map(j =>
-            sum(element_at(col("v"), j + 1))): _*).as("vsum"))
-      cents = sums.select(col("cell").as("cid"),
-        transform(col("vsum"), s => s / col("cnt")).as("centroid"))
+        .agg(count(lit(1)).as("cnt"), array(sumCols: _*).as("vsum"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val cnt = r.getLong(1).toDouble
+        val vsum = r.getSeq[Long](2)
+        next(cell) = vsum.map(s => s.toDouble / CentScale / cnt).toArray
+      }
+      cents = next
     }
-    (assign(cents), cents)
+    (e.withColumn("cell", cellCol(cents)), cents)
   }
 
-  /** IVF approximate top-k: for each query, rank exact cosine within the
-    * nprobe nearest cells only. Same output shape as [[bruteTopK]]. */
+  /** Driver-side probe selection: nprobe nearest centroids per query by
+    * (squared-L2 asc, cid asc) — nlist × |queries| scalar work. */
+  def ivfProbes(qRows: Seq[(Long, Array[Double])], cents: Array[Array[Double]],
+                nprobe: Int): Seq[(Long, Int)] =
+    qRows.flatMap { case (qid, qv) =>
+      cents.zipWithIndex.map { case (c, cid) =>
+        var d = 0.0
+        var j = 0
+        while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+        (d, cid)
+      }.sorted.take(nprobe).map { case (_, cid) => (qid, cid) }
+    }
+
+  /** IVF approximate top-k: for each query, exact cosine rank within the
+    * nprobe nearest cells only. Same output shape as [[bruteTopK]].
+    * When `dumpOracle`, the assignment + centroid artifacts are
+    * materialized for [[ivfTopKSql]]. */
   def ivfTopK(spark: SparkSession, sfDir: String,
               queryIds: Seq[Long] = QueryIds, k: Int = K,
-              nprobe: Int = IvfNprobe): DataFrame = {
+              nprobe: Int = IvfNprobe, dumpOracle: Boolean = false): DataFrame = {
+    import spark.implicits._
     val (asg, cents) = ivfModel(spark, sfDir)
-    val q = asg.filter(col("vec_id").isin(queryIds: _*))
+    val e = embeddingsOf(spark, sfDir)
+    if (dumpOracle) {
+      OracleSide.dump("ivf_asg", asg.select(col("vec_id"), col("cell")))
+      OracleSide.dump("ivf_centroids",
+        cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
+          .toDF("cid", "centroid"))
+    }
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val probes = broadcast(ivfProbes(qRows, cents, nprobe).toDF("query_id", "cell"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // nprobe nearest centroids per query (tiny: queries × nlist)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        aggregate(zip_with(col("qv"), col("centroid"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    asg.join(broadcast(probes),
-        asg("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+    val cand = asg.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), "query_id")
       .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankContract(cand, k)
   }
 
-  /** LSH-bucketed approximate top-k: probe the query's bucket and all
-    * buckets at hamming distance 1 (multiprobe ring). Same output shape
-    * as [[bruteTopK]]; rank within probed candidates. */
-  def lshTopK(spark: SparkSession, sfDir: String,
-              queryIds: Seq[Long] = QueryIds, k: Int = K): DataFrame = {
-    val dim = Corpus.embeddings(spark, sfDir)
-      .select(size(col("embedding"))).head().getInt(0)
-    val e = Corpus.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        signatureCol(col("embedding"), dim).as("sig"))
-    val masks = 0 +: (0 until Hyperplanes).map(1 << _) ++:
-      (for (i <- 0 until Hyperplanes; j <- i + 1 until Hyperplanes)
-        yield (1 << i) | (1 << j))
-    val probes = masks.map(m => col("qsig").bitwiseXOR(lit(m)))
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("sig").as("qsig"))
-      .withColumn("probe", explode(array(probes: _*)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    // a vector's sig equals at most one probe value (probes are distinct),
-    // so the join cannot duplicate (query, vec) pairs
-    e.join(broadcast(q),
-        col("sig") === col("probe") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+  /** DuckDB twin: probe selection (list_distance over the centroid
+    * table), pruned-cell scan, exact rerank, rank — everything downstream
+    * of the k-means training, recomputed from the materialized
+    * (assignment, centroids) artifacts. */
+  def ivfTopKSql(queryIds: Seq[Long] = QueryIds, k: Int = K,
+                 nprobe: Int = IvfNprobe): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH a AS (SELECT vec_id, cell FROM ${OracleSide.glob("ivf_asg")}),
+       |c AS (SELECT cid, centroid FROM ${OracleSide.glob("ivf_centroids")}),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id IN ($ids)),
+       |pd AS (
+       |  SELECT q.query_id, c.cid,
+       |         list_distance(q.qv, CAST(c.centroid AS DOUBLE[])) AS dist
+       |  FROM q CROSS JOIN c
+       |),
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT query_id, cid,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM pd
+       |  ) WHERE rn <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p
+       |  JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         round(list_cosine_similarity(q.qv,
+       |               CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN q ON q.query_id = cand.query_id
+       |)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -103,32 +103,39 @@ object TextStats {
     * argmax_lang Σ_t tf(t)·ln p(t|lang). Output (docID, pred_lang);
     * ties broken lang-ascending on the 4-decimal-rounded score.
     *
-    * Dataflow: two aggregations (per-lang term counts; per-doc tf), one
-    * broadcast-sized profile join — the profile is |vocab|×|langs| which
-    * stays tiny even at web scale (vocab grows ~log of corpus). */
+    * Smoothing is CLOSED-FORM at score time (VERDICT r1 #6): terms the
+    * lang never saw all share lp0 = ln(1/(total+V)), so
+    *   score(d, lang) = Σ_{t∈d∩lang} tf·lp(t,lang) + (|d| − tf_present)·lp0
+    * — only OBSERVED (lang, term) rows are ever materialized. The
+    * round-1 plan built the full |vocab|×|langs| smoothed grid (10⁹+
+    * rows at web scale) just to inject zeros. */
   def langIdNb(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Corpus.docs(spark, sfDir)
     val tf = Bm25.termFreq(docs) // (docID, term, tf)
     val docLang = docs.select(col("docID"), col("lang"))
     val langTf = tf.join(docLang, "docID")
       .groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("c"))
-    val vocab = tf.select(col("term")).distinct()
-    val vocabSize = vocab.count()
+    val vocabSize = tf.select(col("term")).distinct().count()
     val langTotals = langTf.groupBy(col("lang")).agg(sum(col("c")).as("total"))
-    val langs = langTotals.select(col("lang"))
-    // full (term × lang) grid with add-one smoothing
-    val grid = vocab.crossJoin(langs)
-      .join(langTf, Seq("term", "lang"), "left")
-      .na.fill(0L, Seq("c"))
-      .join(langTotals, "lang")
+    val lp = langTf.join(langTotals, "lang")
       .withColumn("lp", log((col("c") + 1).cast("double") /
         (col("total") + lit(vocabSize)).cast("double")))
       .select(col("term"), col("lang"), col("lp"))
+    val lp0 = langTotals
+      .withColumn("lp0", log(lit(1.0) /
+        (col("total") + lit(vocabSize)).cast("double")))
+      .select(col("lang"), col("lp0"))
+    val docLen = tf.groupBy(col("docID")).agg(sum(col("tf")).as("dlen"))
+    val present = tf.join(lp, "term")
+      .groupBy(col("docID"), col("lang"))
+      .agg(sum(col("tf") * col("lp")).as("psum"), sum(col("tf")).as("ptf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("docID")).orderBy(col("score").desc, col("lang").asc)
-    tf.join(grid, "term")
-      .groupBy(col("docID"), col("lang"))
-      .agg(round(sum(col("tf") * col("lp")), 4).as("score"))
+    docLen.crossJoin(broadcast(lp0)) // docs × |langs| — langs is tiny
+      .join(present, Seq("docID", "lang"), "left")
+      .withColumn("score",
+        round(coalesce(col("psum"), lit(0.0)) +
+          (col("dlen") - coalesce(col("ptf"), lit(0L))).cast("double") * col("lp0"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("docID"), col("lang").as("pred_lang"))
@@ -146,18 +153,31 @@ object TextStats {
       |langtf AS (
       |  SELECT dl.lang, tf.term, CAST(sum(tf.tf) AS BIGINT) AS c
       |  FROM tf JOIN dl USING (docID) GROUP BY 1, 2
-      |), vocab AS (SELECT DISTINCT term FROM tf),
-      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |),
+      |vs AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
       |totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM langtf GROUP BY 1),
-      |grid AS (
-      |  SELECT vocab.term, totals.lang,
-      |         ln(CAST(coalesce(langtf.c, 0) + 1 AS DOUBLE)
+      |lp AS (
+      |  SELECT langtf.term, langtf.lang,
+      |         ln(CAST(langtf.c + 1 AS DOUBLE)
       |            / CAST(totals.total + vs.v AS DOUBLE)) AS lp
-      |  FROM vocab CROSS JOIN totals CROSS JOIN vs
-      |  LEFT JOIN langtf ON langtf.term = vocab.term AND langtf.lang = totals.lang
-      |), scores AS (
-      |  SELECT tf.docID, grid.lang, round(sum(tf.tf * grid.lp), 4) AS score
-      |  FROM tf JOIN grid USING (term) GROUP BY 1, 2
+      |  FROM langtf JOIN totals USING (lang) CROSS JOIN vs
+      |),
+      |lp0 AS (
+      |  SELECT lang, ln(1.0 / CAST(totals.total + vs.v AS DOUBLE)) AS lp0
+      |  FROM totals CROSS JOIN vs
+      |),
+      |doclen AS (SELECT docID, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+      |present AS (
+      |  SELECT tf.docID, lp.lang, sum(tf.tf * lp.lp) AS psum,
+      |         CAST(sum(tf.tf) AS BIGINT) AS ptf
+      |  FROM tf JOIN lp USING (term) GROUP BY 1, 2
+      |),
+      |scores AS (
+      |  SELECT d.docID, l.lang,
+      |         round(coalesce(p.psum, 0.0)
+      |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0, 4) AS score
+      |  FROM doclen d CROSS JOIN lp0 l
+      |  LEFT JOIN present p ON p.docID = d.docID AND p.lang = l.lang
       |)
       |SELECT docID, lang AS pred_lang FROM (
       |  SELECT docID, lang,
@@ -205,21 +225,44 @@ object TextStats {
     out.toArray
   }
 
-  /** (docID, n_fp, min_fp, max_fp, fp_xor): winnowing fingerprint summary
-    * per doc — typed mapPartitions (hashing isn't Catalyst-expressible);
-    * the full fingerprint arrays feed clone detection downstream. */
-  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (docID, fps: array<bigint>) — per-doc winnowing fingerprints, sorted
+    * ascending; typed mapPartitions (hashing isn't Catalyst-expressible).
+    * The full arrays feed clone detection downstream. */
+  def fingerprintArrays(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Corpus.docs(spark, sfDir)
       .select(col("docID"), col("content")).as[(Long, String)]
       .mapPartitions(_.map { case (id, content) =>
-        val fps = winnow(Analyzer.tokenize(content).toIndexedSeq)
-        (id, fps.length.toLong,
-          if (fps.isEmpty) 0L else fps.min,
-          if (fps.isEmpty) 0L else fps.max,
-          fps.foldLeft(0L)(_ ^ _))
+        (id, winnow(Analyzer.tokenize(content).toIndexedSeq))
       })
-      .toDF("docID", "n_fp", "min_fp", "max_fp", "fp_xor")
+      .toDF("docID", "fps")
+  }
+
+  /** (docID, n_fp, min_fp, max_fp, fp_xor): winnowing fingerprint summary
+    * per doc, derived RELATIONALLY from [[fingerprintArrays]]. When
+    * `dumpOracle`, the arrays are materialized so [[fingerprintsSql]]
+    * re-derives the identical summary in DuckDB — gating everything
+    * downstream of the rolling hash (the hash itself is gated by the
+    * winnowing property tests). */
+  def fingerprints(spark: SparkSession, sfDir: String,
+                   dumpOracle: Boolean = false): DataFrame = {
+    val arrays = fingerprintArrays(spark, sfDir)
+    if (dumpOracle) graft.OracleSide.dump("fp_arrays", arrays)
+    arrays
+      .select(col("docID"),
+        size(col("fps")).cast("long").as("n_fp"),
+        coalesce(array_min(col("fps")), lit(0L)).as("min_fp"),
+        coalesce(array_max(col("fps")), lit(0L)).as("max_fp"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
       .orderBy(col("docID"))
   }
+
+  /** DuckDB twin over the materialized fingerprint arrays. */
+  def fingerprintsSql: String =
+    s"""SELECT docID,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  coalesce(list_min(fps), CAST(0 AS BIGINT)) AS min_fp,
+       |  coalesce(list_max(fps), CAST(0 AS BIGINT)) AS max_fp,
+       |  coalesce(list_aggregate(fps, 'bit_xor'), CAST(0 AS BIGINT)) AS fp_xor
+       |FROM ${graft.OracleSide.glob("fp_arrays")} ORDER BY docID""".stripMargin
 }

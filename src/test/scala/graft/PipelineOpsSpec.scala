@@ -66,6 +66,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"implausibly low LSH recall: $recall")
   }
 
+  /** The scale-honesty gate (VERDICT r1 #2): on a corpus big enough for
+    * the corpus-scaled plane count to bite, single-bucket probes across
+    * L tables must reach ≥0.9 recall@10 while touching ≤1% of the
+    * corpus per query. 8192 vectors = 512 planted clusters of 16
+    * (in-cluster cos ≈ 0.99) + the usual random background. */
+  test("ann LSH at scale: recall >= 0.9 at candidate fraction <= 1%") {
+    import spark.implicits._
+    val n = 8192
+    val dim = 64
+    val clusterSize = 16
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(z: Long): Double = (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    def vecOf(id: Int): Array[Double] = {
+      val c = id / clusterSize
+      Array.tabulate(dim)(j =>
+        unit(mix(c.toLong * 7919 + j)) + 0.08 * unit(mix(id.toLong * 104729 + j + 1_000_000)))
+    }
+    val vecs = (0 until n).map(id => (id.toLong, vecOf(id).map(_.toFloat)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val planes = Similarity.lshPlanes(n)
+    info(s"planes=$planes tables=${Similarity.LshTables}")
+    val sigs = Similarity.lshSignatures(e, dim, planes).cache()
+    val qids = (0 until 5).map(i => (i * clusterSize).toLong)
+    val cand = Similarity.lshCandidatePairs(e, sigs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val frac = cand.length.toDouble / (qids.size.toDouble * (n - 1))
+    // driver-side exact rerank of both arms (tiny)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val all = (0 until n).map(id => vecOf(id))
+    val bruteTop = qids.flatMap { q =>
+      (0 until n).filter(_ != q.toInt)
+        .map(v => (cos(all(q.toInt), all(v)), v))
+        .sortBy { case (c, v) => (-c, v) }.take(10).map(p => (q, p._2.toLong))
+    }.toSet
+    val byQ = cand.groupBy(_._1)
+    val lshTop = qids.flatMap { q =>
+      byQ.getOrElse(q, Array.empty).map(_._2)
+        .map(v => (cos(all(q.toInt), all(v.toInt)), v))
+        .sortBy { case (c, v) => (-c, v) }.take(10).map(p => (q, p._2))
+    }.toSet
+    val recall = (bruteTop & lshTop).size.toDouble / bruteTop.size
+    info(f"LSH-at-scale recall@10=$recall%.3f candidate fraction=$frac%.4f")
+    assert(recall >= 0.9, s"LSH recall too low at scale: $recall")
+    assert(frac <= 0.01, s"LSH candidate fraction too high: $frac")
+    sigs.unpersist()
+  }
+
   test("native cosine Expression bit-equal to the higher-order-function formula") {
     import graft.functions.Native
     val e = Corpus.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -82,6 +138,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val row = spark.sql(
       "SELECT CAST(NULL AS ARRAY<FLOAT>) AS a, array(CAST(1.0 AS FLOAT)) AS b")
     assert(row.select(Native.cosine(col("a"), col("b"))).head().isNullAt(0))
+    // malformed inputs agree with the HOF formulation too (ADVICE r1):
+    // length mismatch → null (zip_with pads with null), null element → null
+    val weird = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))
+        |AS t(a, b)""".stripMargin)
+      .select(Native.cosine(col("a"), col("b")).as("native"),
+        Dedup.cosineCol(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(weird.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("ann IVF top-k: shape correct, measured recall vs brute force") {
@@ -101,6 +168,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // determinism: same model, same ranking on a repeat run
     val again = Similarity.ivfTopK(spark, dir).collect().map(_.toSeq).toSeq
     assert(again == rows.map(_.toSeq).toSeq)
+  }
+
+  test("ivf assignment plan is shuffle-free (argmin over literal centroids)") {
+    val (asg, cents) = Similarity.ivfModel(spark, dir)
+    assert(cents.length == Similarity.IvfNlist)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment must not shuffle, got plan:\n$plan")
   }
 
   test("token stats: alnum tokens >= ws tokens never holds trivially; counts positive") {
