@@ -30,10 +30,17 @@ object Native {
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
-/** cos(a, b) = Σaᵢbᵢ / √Σaᵢ² / √Σbᵢ², null if either side is null.
-  * Element access is unrolled by element type at codegen time. */
+/** cos(a, b) = Σaᵢbᵢ / √Σaᵢ² / √Σbᵢ², null if either side is null, if
+  * the lengths differ, or if any element is null — exactly matching the
+  * higher-order-function formulation (`zip_with` pads a length mismatch
+  * with nulls and a null element poisons the aggregate), so the two
+  * implementations agree on ALL inputs, not just well-formed ones
+  * (ADVICE r1). Element access is unrolled by element type at codegen
+  * time; element null checks compile away when containsNull=false. */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with Serializable {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -51,17 +58,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elemMayBeNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val af = elemIsFloat(left)
     val bf = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x: Double = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y: Double = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -83,15 +95,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullCheck =
+        if (elemMayBeNull(left) || elemMayBeNull(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$aGet($i);
-         |  double $y = (double) $b.$bGet($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = (double) $a.$aGet($i);
+         |    double $y = (double) $b.$bGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
        """.stripMargin
     })
   }

@@ -43,6 +43,19 @@ object QueryEngine {
     * insurance — it can only make pruning more conservative. */
   private def pad(ub: Double): Double = ub * (1.0 + 1e-9) + 1e-12
 
+  /** Broadcast norms as sorted parallel PRIMITIVE arrays + binary search
+    * (VERDICT r1 #7): 16 bytes/doc flat, vs hundreds of bytes/entry for
+    * a boxed Map[Long, Long] — raises the broadcast-norms ceiling ~10×
+    * before the cogroup fallback has to take over. */
+  final class NormsTable(ids: Array[Long], lens: Array[Long]) extends Serializable {
+    def apply(docID: Long): Long = {
+      val i = java.util.Arrays.binarySearch(ids, docID)
+      require(i >= 0, s"docID $docID absent from docstats")
+      lens(i)
+    }
+    def size: Int = ids.length
+  }
+
   // ----------------------------------------------------- posting iterator
 
   /** Iterator over one term's posting list = its minDoc-ordered,
@@ -452,7 +465,7 @@ final class QueryEngine(
     spark: SparkSession,
     indexDirs: Seq[String],
     numRanges: Int = 32,
-    broadcastNormsUpTo: Long = 4_000_000L,
+    broadcastNormsUpTo: Long = 40_000_000L,
     dictCacheUpTo: Long = 1_000_000L,
     broadcastPostingsUpTo: Long = 8_000_000L) extends Serializable {
 
@@ -502,12 +515,51 @@ final class QueryEngine(
                          buckets: Seq[Int]) =
     Index.segmentsFrom(spark, postingsByDir(dir), terms, buckets)
 
-  /** Small-corpus path: norms as a broadcast primitive-friendly map. */
+  /** Small-corpus path: norms as sorted primitive arrays (binary-search
+    * lookup) — flat, boxing-free broadcast payload. */
   private val normsBc =
     if (useBroadcastNorms) {
-      val m = allDocStats.collect().map(d => d.docID -> d.len).toMap
-      Some(spark.sparkContext.broadcast(m))
+      val rows = allDocStats.collect()
+      java.util.Arrays.sort(rows, Ordering.by((d: DocStat) => d.docID))
+      val ids = new Array[Long](rows.length)
+      val lens = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) { ids(i) = rows(i).docID; lens(i) = rows(i).len; i += 1 }
+      Some(spark.sparkContext.broadcast(new NormsTable(ids, lens)))
     } else None
+
+  /** Session cache of side-term segment broadcasts, keyed by the query's
+    * (driver term, term set): repeated queries re-use one broadcast
+    * instead of leaking a new block per call (ADVICE r1). Bounded LRU;
+    * evicted/closed broadcasts are destroyed, so call [[close]] only
+    * after all returned frames are consumed. */
+  private val sideBcCache =
+    mutable.LinkedHashMap.empty[String, org.apache.spark.broadcast.Broadcast[Map[String, Array[PostingSegment]]]]
+  private val sideBcCacheMax = 256
+
+  private def sideBroadcast(key: String)(
+      compute: => Map[String, Array[PostingSegment]]) = synchronized {
+    sideBcCache.get(key) match {
+      case Some(b) => b
+      case None =>
+        if (sideBcCache.size >= sideBcCacheMax) {
+          val (k0, b0) = sideBcCache.head
+          sideBcCache.remove(k0)
+          b0.destroy()
+        }
+        val b = spark.sparkContext.broadcast(compute)
+        sideBcCache.put(key, b)
+        b
+    }
+  }
+
+  /** Release every broadcast this session created (norms + cached side
+    * segments). The engine must not be queried afterwards. */
+  def close(): Unit = synchronized {
+    sideBcCache.values.foreach(_.destroy())
+    sideBcCache.clear()
+    normsBc.foreach(_.destroy())
+  }
 
   /** Per constituent index: the query terms it knows, with ITS bucket
     * assignment (buckets are per-index — df-local at build time). */
@@ -596,14 +648,14 @@ final class QueryEngine(
     if (scanPath) {
       val bc = normsBc.get
       val para = spark.sparkContext.defaultParallelism
-      val sideByTerm: Map[String, Array[PostingSegment]] =
+      val sideBc = sideBroadcast(driverTerm + "|" + terms.sorted.mkString(",")) {
         indexDirs.zip(perDir).flatMap { case (dir, es) =>
           val se = es.filter(_.term != driverTerm)
           if (se.isEmpty) Nil
           else segmentsOf(dir, se.map(_.term),
             se.map(_.bucket).distinct).coalesce(para).collect().toSeq
         }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
-      val sideBc = spark.sparkContext.broadcast(sideByTerm)
+      }
       // coalesce: the pruned read otherwise yields one micro-task per
       // index file — scheduling dominates at interactive latency
       val driverSegs = indexDirs.zip(perDir)
