@@ -124,8 +124,11 @@ object Bench {
     def pct(p: Double) =
       lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
+    // live build gauges (A4/A5 analogue) from the LAST timed build
+    val bm = Index.lastBuildMetrics.map(s =>
+      s""""build_postings":${s.postings},"build_segments":${s.segments},"build_encoded_bytes":${s.encodedBytes},"build_input_bytes":${s.inputBytes},"build_shuffle_write_bytes":${s.shuffleWriteBytes},""").getOrElse("")
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -201,7 +204,11 @@ object Bench {
       val eff = n4Thr / (nThr * 4.0)
       f""","scaling":{"n_cpus":$scaleN,"n4_cpus":${4 * scaleN},"build_sec_n":${s("build_sec").toDouble}%.3f,"build_sec_4n":${n4("build_sec").toDouble}%.3f,"docs_per_sec_n":$nThr%.1f,"docs_per_sec_4n":$n4Thr%.1f,"efficiency":$eff%.3f,"query_p50_ms_n":${s("p50_ms").toDouble}%.1f,"query_p50_ms_4n":${n4("p50_ms").toDouble}%.1f}"""
     }.getOrElse("")
+    val counters = Seq("build_postings", "build_segments", "build_encoded_bytes",
+        "build_input_bytes", "build_shuffle_write_bytes")
+      .flatMap(k => main.get(k).map(v => s""""$k":$v""")).mkString(",")
+    val countersJson = if (counters.nonEmpty) s",$counters" else ""
     println(
-      s"""{"metric":"index-build docs/sec + BM25 query p50/p95 (indexed engine)","value":$totalSec,"unit":"sec","queries":$qSec,"sf":"$sfDir","docs":$docs,"replicate":$repl,"build_sec":$buildSec,"build_docs_per_sec":$docsPerSec,"query_p50_ms":$p50,"query_p95_ms":$p95$scalingJson}""")
+      s"""{"metric":"index-build docs/sec + BM25 query p50/p95 (indexed engine)","value":$totalSec,"unit":"sec","queries":$qSec,"sf":"$sfDir","docs":$docs,"replicate":$repl,"build_sec":$buildSec,"build_docs_per_sec":$docsPerSec,"query_p50_ms":$p50,"query_p95_ms":$p95$countersJson$scalingJson}""")
   }
 }

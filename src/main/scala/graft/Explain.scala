@@ -69,6 +69,18 @@ object Explain {
         "graft_cosine codegen'd in the projection, window top-k.",
       Similarity.bruteTopK(spark, sfDir))
 
+    show("IVF assignment (per-row argmin over literal centroids)",
+      "Expect: Scan + Project ONLY — zero Exchange per Lloyd round " +
+        "(round-1 crossJoin+window plan shuffled nlist× the corpus).",
+      Similarity.ivfModel(spark, sfDir)._1)
+
+    val emb = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    show("LSH signature table (L tables × corpus-scaled planes)",
+      "Expect: shuffle-free projection pass (scan → project → explode); " +
+        "plane dots via the codegen'd graft_cosine.",
+      Similarity.lshSignatures(emb, dim, Similarity.lshPlanes(emb.count())))
+
     show("metrics rollup",
       "Expect: Expand + single hash aggregate with partial aggregation.",
       Metrics.rollupMetrics(spark, sfDir))

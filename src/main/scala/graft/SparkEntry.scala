@@ -99,8 +99,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
 
-    // -- multimodal plumbing (decode stubbed; schema/batch shape real)
-    "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
+    // -- multimodal: real PNG/WAV synth + decode over binary payloads
+    "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir, dumpOracle = true)),
 
     // -- event-stream analytics (Structured Streaming; SURVEY §2.10)
     "events_windowed" -> ((s, dir) => Events.windowedCountsStreaming(s, dir)),
@@ -114,7 +114,10 @@ object SparkEntry {
     "url_priority" -> ((s, dir) => Crawl.urlPriority(s, dir)),
     "extract_text" -> ((s, dir) => Crawl.extractTextParity(s, dir)),
     "extract_links" -> ((s, dir) => Crawl.extractLinksParity(s, dir)),
-    "crawl_order" -> ((s, dir) => Crawl.crawlOrder(s, dir)),
+    "crawl_order" -> ((s, dir) => Crawl.crawlOrder(s, dir, dumpOracle = true)),
+
+    // -- S3/P5: fetch-with-retry ladder over the synthetic status table
+    "fetch_retry" -> ((s, dir) => Crawl.fetchWithRetry(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,10 +194,9 @@ object SparkEntry {
     "url_priority" -> Crawl.urlPrioritySql,
     "extract_text" -> Crawl.extractTextSql,
     "extract_links" -> Crawl.extractLinksSql,
-    // dedup_simhash / ann_lsh_topk / doc_fingerprints / crawl_order:
-    // hash-defined or iterative semantics not expressible in DuckDB SQL
-    // → rows-only check; their correctness gates are the Spark-side
-    // tests (banded == brute, LSH recall, winnowing cases, crawl
-    // budget/dedup/robots invariants).
+    // the crawl wave loop, UNROLLED over the materialized link graph —
+    // every entry now has a DuckDB gate (hash kernels via OracleSide)
+    "crawl_order" -> Crawl.crawlOrderSql(),
+    "fetch_retry" -> Crawl.fetchRetrySql(),
   )
 }

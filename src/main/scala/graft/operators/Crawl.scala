@@ -27,6 +27,7 @@ object Crawl {
   val MaxLinks = 40
   val Batch = 8
   val SeedPriority = 10.0 // crawler.cpp:89
+  val FrontierCap = 1000  // P6 queue-capacity gate (best-first, deterministic)
 
   /** Synthetic robots.txt applied to every site: /private/ is disallowed
     * for everyone (exercises P4/F9 on real rule matching). */
@@ -69,11 +70,36 @@ object Crawl {
     docPages.unionAll(roots)
   }
 
+  /** Config-driven crawl (S5): max_links is the budget, thread_count the
+    * per-wave dispatch width (the reference dispatches up to
+    * thread_count fetches concurrently per round), domain_keywords feed
+    * the priority bonuses. */
+  def crawlOrderConfigured(spark: SparkSession, sfDir: String,
+                           config: graft.sources.CrawlerConfig): DataFrame =
+    crawlOrder(spark, sfDir, maxLinks = config.maxLinks,
+      batch = config.threadCount,
+      domainKeywords = config.domainKeywords,
+      ownWeight = config.domainKeywordWeight,
+      crossWeight = config.crossDomainKeywordWeight)
+
   /** The batch crawl: returns (order, wave, url, depth, priority) for
     * every crawled page in crawl order — the analogue of the reference's
-    * pages-table insertion order. */
+    * pages-table insertion order.
+    *
+    * Deterministic end to end: same-wave multi-parent discoveries take
+    * the SHALLOWEST depth (groupBy min, not an arbitrary dropDuplicates
+    * survivor) and the frontier cap keeps the BEST entries by
+    * (priority desc, url asc) rather than an arbitrary limit() prefix.
+    *
+    * When `dumpOracle` (default config only), the synthetic link graph —
+    * seeds plus (src, dst) edges with the dst's depth-independent
+    * priority components — is materialized, and [[crawlOrderSql]]
+    * replays the ENTIRE wave loop over it in DuckDB. */
   def crawlOrder(spark: SparkSession, sfDir: String,
-                 maxLinks: Int = MaxLinks, batch: Int = Batch): DataFrame = {
+                 maxLinks: Int = MaxLinks, batch: Int = Batch,
+                 domainKeywords: Map[String, Seq[String]] = Map.empty,
+                 ownWeight: Double = 3.0, crossWeight: Double = 1.5,
+                 dumpOracle: Boolean = false): DataFrame = {
     import spark.implicits._
     val site = pages(spark, sfDir).cache()
     val robots = UrlFunctions.parseRobots(RobotsTxt)
@@ -87,11 +113,31 @@ object Crawl {
       UrlFunctions.isAllowed(robotsBc.value, "*", url))
     val sameDomainUdf = udf((url: String) =>
       seedDomainsBc.value.exists(d => UrlFunctions.isSameDomain(url, d)))
-    val prioUdf = udf((url: String, depth: Int) => UrlFunctions.priority(url, depth))
+    val dk = domainKeywords
+    val ow = ownWeight
+    val cw = crossWeight
+    val prioUdf = udf((url: String, depth: Int) =>
+      UrlFunctions.priority(url, depth, dk, ow, cw))
 
     val seeds = site.select(col("url")).filter(col("url").endsWith(".example.com"))
       .select(col("url"), lit(0).as("depth"), lit(SeedPriority).as("priority"))
       .dropDuplicates("url")
+
+    if (dumpOracle) {
+      require(domainKeywords.isEmpty,
+        "crawl oracle SQL models the default (empty) domain-keyword config")
+      graft.OracleSide.dump("crawl_seeds", seeds.select(col("url")))
+      val kwUdf = udf(UrlFunctions.keywordScore _)
+      val domUdf = udf(UrlFunctions.domainScore _)
+      val edges = site
+        .select(col("url").as("src"),
+          explode(extractUdf(col("html"), col("url"))).as("dst"))
+        .filter(sameDomainUdf(col("dst")) && allowedUdf(col("dst")))
+        .distinct()
+        .withColumn("kw", kwUdf(col("dst")))
+        .withColumn("dom", domUdf(col("dst")))
+      graft.OracleSide.dump("crawl_edges", edges)
+    }
 
     var frontier = seeds
     var visited = Seq.empty[(String, Int, Double, Int)].toDF("url", "depth", "priority", "wave")
@@ -113,12 +159,13 @@ object Crawl {
         .filter(sameDomainUdf(col("url")) && allowedUdf(col("url")))
         .join(visited.select("url"), Seq("url"), "left_anti")  // P3
         .join(frontier.select("url"), Seq("url"), "left_anti") // U1 dedup
-        .dropDuplicates("url")
+        .groupBy(col("url")).agg(min(col("depth")).as("depth"))
         .withColumn("priority", prioUdf(col("url"), col("depth")))
         .select(col("url"), col("depth"), col("priority"))
       frontier = frontier.join(top.select("url"), Seq("url"), "left_anti")
         .unionAll(links)
-        .limit(1000) // P6 queue-capacity gate
+        .orderBy(col("priority").desc, col("url").asc)
+        .limit(FrontierCap) // P6 queue-capacity gate, best-first
         .localCheckpoint()
       wave += 1
     }
@@ -129,6 +176,132 @@ object Crawl {
       .select(col("order"), col("wave"), col("url"), col("depth"), col("priority"))
       .orderBy(col("order"))
   }
+
+  /** DuckDB twin of [[crawlOrder]]: the wave loop UNROLLED over the
+    * materialized link graph — ceil(maxLinks/batch) chained CTE layers,
+    * each doing exactly what one Spark wave does (best-first pop, edge
+    * expansion, visited/frontier anti-join, min-depth dedup, priority
+    * re-derivation, capped best-first frontier union). Priority is
+    * rebuilt as kw + depthScore + dom in the same left-to-right IEEE
+    * addition order as `UrlFunctions.priority`, from the materialized
+    * per-url kw/dom components. */
+  def crawlOrderSql(maxLinks: Int = MaxLinks, batch: Int = Batch): String = {
+    val waves = (maxLinks + batch - 1) / batch
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT src, dst, kw, dom FROM ${graft.OracleSide.glob("crawl_edges")}),
+         |kd AS (SELECT DISTINCT dst, kw, dom FROM e),
+         |f0 AS (SELECT url, 0 AS depth, CAST(10.0 AS DOUBLE) AS priority
+         |       FROM ${graft.OracleSide.glob("crawl_seeds")}),
+         |vis0 AS (SELECT url, depth, priority, 0 AS wave FROM f0 WHERE 1 = 0),
+         |""".stripMargin)
+    var taken = 0
+    for (w <- 0 until waves) {
+      val take = math.min(batch, maxLinks - taken)
+      taken += take
+      sb.append(
+        s"""top$w AS (SELECT url, depth, priority, $w AS wave FROM f$w
+           |          ORDER BY priority DESC, url ASC LIMIT $take),
+           |vis${w + 1} AS (SELECT * FROM vis$w UNION ALL SELECT * FROM top$w),
+           |new$w AS (
+           |  SELECT e.dst AS url, min(t.depth + 1) AS depth
+           |  FROM top$w t JOIN e ON e.src = t.url
+           |  WHERE e.dst NOT IN (SELECT url FROM vis${w + 1})
+           |    AND e.dst NOT IN (SELECT url FROM f$w)
+           |  GROUP BY e.dst
+           |),
+           |newp$w AS (
+           |  SELECT n.url, n.depth,
+           |         kd.kw + greatest(0.1, 2.0 / (n.depth + 1.0)) + kd.dom AS priority
+           |  FROM new$w n JOIN kd ON kd.dst = n.url
+           |),
+           |f${w + 1} AS (
+           |  SELECT url, depth, priority FROM (
+           |    SELECT url, depth, priority FROM f$w
+           |    WHERE url NOT IN (SELECT url FROM top$w)
+           |    UNION ALL SELECT url, depth, priority FROM newp$w
+           |  ) ORDER BY priority DESC, url ASC LIMIT $FrontierCap
+           |),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (
+         |  SELECT row_number() OVER (ORDER BY wave, round(priority, 4) DESC, url)
+         |           AS "order",
+         |         wave, url, depth, round(priority, 4) AS priority
+         |  FROM vis$waves
+         |)
+         |SELECT "order", wave, url, depth, priority FROM fin ORDER BY "order"""".stripMargin)
+    sb.toString
+  }
+
+  // ------------------------------------------------- S3/P5: fetch retry
+
+  /** Total attempt budget (reference `crawler_config.h` max_retries:
+    * first fetch + (max_retries − 1) retries). */
+  val RetryMax = 3
+
+  /** Deterministic synthetic HTTP status schedule per (docID, attempt):
+    * the data-plane stand-in for live responses (the sandbox has no
+    * network; SURVEY §2.1 S2 replaces the network scan with a table). */
+  def statusAt(docID: Long, attempt: Int): Int = (docID % 23) match {
+    case 1 => 404                            // client error → fail fast
+    case 2 => if (attempt >= 3) 200 else 503 // transient, heals at attempt 3
+    case 3 => 503                            // permanently down
+    case 4 => if (attempt == 1) 503 else 404 // 4xx ON a retry → stop
+    case _ => 200
+  }
+
+  /** S3/P5: the reference's retry ladder (reference
+    * `src/crawler/crawler.cpp:521-557`) as data-plane wave iteration:
+    * attempt 1 for everyone; 2xx/3xx → ok; 4xx → fail-fast (NEVER
+    * retried — the reference returns before the retry loop, and a 4xx
+    * inside the loop also returns); anything else retries until the
+    * attempt budget is spent. (The reference additionally fails empty-
+    * content 2xx responses; the synthetic pages are never empty.)
+    * Returns (docID, url, final_status, attempts, ok). */
+  def fetchWithRetry(spark: SparkSession, sfDir: String,
+                     maxRetries: Int = RetryMax): DataFrame = {
+    val statusUdf = udf(statusAt _)
+    var pending = Corpus.docs(spark, sfDir).select(col("docID"),
+      concat(lit("http://"), col("repo"), lit(".example.com/doc"),
+        col("docID"), lit(".html")).as("url"))
+    var results: DataFrame = null
+    for (attempt <- 1 to maxRetries if pending != null) {
+      val classified = pending
+        .withColumn("status", statusUdf(col("docID"), lit(attempt)))
+        .withColumn("ok", col("status") >= 200 && col("status") < 400)
+        .withColumn("failFast", col("status") >= 400 && col("status") < 500)
+        .withColumn("done", col("ok") || col("failFast") || lit(attempt == maxRetries))
+      val finished = classified.filter(col("done"))
+        .select(col("docID"), col("url"), col("status").as("final_status"),
+          lit(attempt).as("attempts"), col("ok"))
+      results = if (results == null) finished else results.unionAll(finished)
+      pending =
+        if (attempt == maxRetries) null
+        else classified.filter(!col("done")).select(col("docID"), col("url"))
+    }
+    results.orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[fetchWithRetry]] at the default attempt budget:
+    * the expected OUTCOME of the ladder per status class, derived
+    * independently (by hand) from the reference's control flow rather
+    * than by replaying attempts — 404 fails on attempt 1 (fail-fast,
+    * never retried), the healing 503 succeeds on attempt 3, the
+    * permanent 503 exhausts the budget, the 503→404 class stops at
+    * attempt 2 (client error on a retry also returns). */
+  def fetchRetrySql(): String =
+    """SELECT doc_id AS docID,
+      |  'http://' || source || '.example.com/doc' || doc_id || '.html' AS url,
+      |  CASE CAST(doc_id % 23 AS INT)
+      |    WHEN 1 THEN 404 WHEN 2 THEN 200 WHEN 3 THEN 503 WHEN 4 THEN 404
+      |    ELSE 200 END AS final_status,
+      |  CASE CAST(doc_id % 23 AS INT)
+      |    WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 3 WHEN 4 THEN 2
+      |    ELSE 1 END AS attempts,
+      |  CAST(doc_id % 23 AS INT) NOT IN (1, 3, 4) AS ok
+      |FROM documents ORDER BY docID""".stripMargin
 
   // ------------------------------------- SQL-twinned URL scalar entries
 

@@ -82,6 +82,42 @@ object Index {
   def bucketOf(df: Long, numBuckets: Int): Int =
     math.min(numBuckets - 1, 63 - java.lang.Long.numberOfLeadingZeros(df))
 
+  // -------------------------------------------------- runtime metrics
+
+  /** Live build counters (VERDICT r1 #9) — the Spark-native analogue of
+    * the reference's singleton gauges (reference
+    * `src/metrics/metrics_collector.cpp:135-172`): postings/segments/
+    * encoded bytes accumulate EXECUTOR-side inside the encode kernel via
+    * `LongAccumulator`s; docs/tokens are corpus gauges set from the
+    * stats stage; task-level input/shuffle bytes come from a
+    * SparkListener attached for the duration of the build. */
+  final class BuildMetrics(sc: org.apache.spark.SparkContext) extends Serializable {
+    val docs = sc.longAccumulator("graft.build.docs")
+    val tokens = sc.longAccumulator("graft.build.tokens")
+    val postings = sc.longAccumulator("graft.build.postings")
+    val segments = sc.longAccumulator("graft.build.segments")
+    val encodedBytes = sc.longAccumulator("graft.build.encodedBytes")
+  }
+
+  final case class BuildMetricsSnapshot(
+      docs: Long, tokens: Long, postings: Long, segments: Long,
+      encodedBytes: Long, inputBytes: Long, shuffleWriteBytes: Long)
+
+  /** Snapshot of the most recent [[build]]/[[buildFrom]] on this JVM —
+    * surfaced by the bench JSON and asserted in IndexQuerySpec. Stages
+    * skipped by resume contribute nothing (counters measure work DONE). */
+  @volatile var lastBuildMetrics: Option[BuildMetricsSnapshot] = None
+
+  private final class TaskByteListener extends org.apache.spark.scheduler.SparkListener {
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null) {
+        inputBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+        shuffleWriteBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+  }
+
   // NOTE on directory granularity: a term-hash sub-partition layer
   // (postings/bucket=…/tpart=hash(term)%K/) was tried and reverted — at
   // realistic segment sizes the extra directory fan-out fragments the
@@ -91,6 +127,39 @@ object Index {
   // term column, which the term-sorted write order makes effective.
 
   // ------------------------------------------------------------- stages
+
+  /** On-disk format version. Bump whenever the postings/stats/dictionary
+    * schema changes: resume markers from an older layout must not let
+    * build() skip stages and then fail at query time on missing columns
+    * (ADVICE r1). Version 2 = blockMaxTf/blockMinLen block directory +
+    * minDoc/sumLen corpus stats + optional positions. */
+  val FormatVersion = "2"
+
+  /** Stamp (or validate) the format version of an index dir. A missing
+    * or mismatched version means "stale persistent dir": all resume
+    * markers and the append-mode lineage are dropped so every stage
+    * rebuilds from scratch, then the current version is written. */
+  def ensureFormat(indexDir: String): Unit = {
+    val dir = Paths.get(indexDir)
+    val vf = dir.resolve("_format_version")
+    val cur =
+      if (Files.exists(vf)) new String(Files.readAllBytes(vf), "UTF-8").trim
+      else null
+    if (cur != FormatVersion) {
+      if (Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("_done_"))
+          .foreach(Files.delete)
+        val lineage = dir.resolve("lineage")
+        if (Files.isDirectory(lineage))
+          Files.walk(lineage).iterator().asScala.toSeq.reverse
+            .foreach(Files.delete)
+      }
+      Files.createDirectories(dir)
+      Files.write(vf, FormatVersion.getBytes("UTF-8"))
+    }
+  }
 
   private def done(indexDir: String, stage: String): Boolean =
     Files.exists(Paths.get(s"$indexDir/_done_$stage"))
@@ -124,6 +193,24 @@ object Index {
                 p: BuildParams = BuildParams()): Unit = {
     import spark.implicits._
     Files.createDirectories(Paths.get(indexDir))
+    ensureFormat(indexDir)
+    val m = new BuildMetrics(spark.sparkContext)
+    val listener = new TaskByteListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      buildStage1(spark, docs, indexDir, p)
+      buildFromTf(spark, indexDir, p, m)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      lastBuildMetrics = Some(BuildMetricsSnapshot(
+        m.docs.value, m.tokens.value, m.postings.value, m.segments.value,
+        m.encodedBytes.value, listener.inputBytes.get, listener.shuffleWriteBytes.get))
+    }
+  }
+
+  private def buildStage1(spark: SparkSession, docs: DataFrame,
+                          indexDir: String, p: BuildParams): Unit = {
+    import spark.implicits._
 
     // -- stage 1: term frequencies — ONE shuffle (partial+final hash
     //    agg); no extra layout shuffle, stage 4 re-shuffles by
@@ -146,15 +233,17 @@ object Index {
       appendLineage(spark, indexDir, lin)
       mark(indexDir, "tf")
     }
-    buildFromTf(spark, indexDir, p)
   }
 
   /** Stages 2-4, driven from an existing stage-1 tf table at
     * `indexDir/tf` — shared by the normal build and by LSM compaction
     * (which unions constituent tf tables instead of re-tokenizing). */
   def buildFromTf(spark: SparkSession, indexDir: String,
-                  p: BuildParams = BuildParams()): Unit = {
+                  p: BuildParams = BuildParams(),
+                  metrics: BuildMetrics = null): Unit = {
     import spark.implicits._
+    ensureFormat(indexDir)
+    val m = if (metrics != null) metrics else new BuildMetrics(spark.sparkContext)
     val tf = spark.read.parquet(s"$indexDir/tf")
 
     // -- stage 2: doc lengths + corpus stats
@@ -179,6 +268,9 @@ object Index {
           col("rowCount"), col("tokenCount"), lit("complete").as("status"))
         .as[LineageRow]
       appendLineage(spark, indexDir, lin)
+      val st = spark.read.parquet(s"$indexDir/stats").head()
+      m.docs.add(st.getAs[Double]("n").toLong)
+      m.tokens.add(st.getAs[Long]("sumLen"))
       mark(indexDir, "docstats")
     }
 
@@ -233,7 +325,7 @@ object Index {
         .sortWithinPartitions(col("term"), col("docID"))
         .drop("salt")
         .as[TermPosting]
-        .mapPartitions(it => encodePartition(it, p))
+        .mapPartitions(it => encodePartition(it, p, m))
 
       segs.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(s"$indexDir/postings")
@@ -252,8 +344,8 @@ object Index {
     * (term, docID); emit a segment whenever the term changes, the segment
     * reaches segmentSize postings, or (salted terms) the docID crosses a
     * salt-chunk boundary. Never materializes more than one segment. */
-  def encodePartition(rows: Iterator[TermPosting],
-                      p: BuildParams): Iterator[PostingSegment] =
+  def encodePartition(rows: Iterator[TermPosting], p: BuildParams,
+                      m: BuildMetrics = null): Iterator[PostingSegment] =
     new Iterator[PostingSegment] {
       private val it = rows.buffered
       def hasNext: Boolean = it.hasNext
@@ -286,6 +378,12 @@ object Index {
         val idArr = ids.toArray
         val blocks = Codec.encodeBlocks(idArr, tfs.toArray, lens.toArray,
           if (poss == null) null else poss.toArray)
+        if (m != null) { // executor-side live counters (A4/A5)
+          m.postings.add(idArr.length)
+          m.segments.add(1)
+          m.encodedBytes.add(blocks.docBlob.length + blocks.tfBlob.length +
+            (if (blocks.posBlob != null) blocks.posBlob.length else 0))
+        }
         PostingSegment(term, first.bucket, first.df,
           idArr.head, idArr.last, idArr.length,
           blocks.docBlob, blocks.tfBlob,

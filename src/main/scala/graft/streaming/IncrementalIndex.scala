@@ -83,6 +83,9 @@ object IncrementalIndex {
               p: Index.BuildParams = Index.BuildParams()): Unit = {
     require(dirs.nonEmpty)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // version-stamp BEFORE writing the tf marker: ensureFormat wipes
+    // markers on a version mismatch, so it must not run after them
+    Index.ensureFormat(outDir)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$outDir/_done_tf"))) {
       dirs.map(d => spark.read.parquet(s"$d/tf"))

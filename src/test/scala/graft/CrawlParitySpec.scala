@@ -129,6 +129,61 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(Html.extractText("<SCRIPT>secret</SCRIPT>visible") == "visible")
   }
 
+  test("config-as-data: defaults, per-field overrides, domain_keywords, bad file") {
+    import graft.sources.CrawlerConfig
+    val spark = SparkFixture.spark
+    val d = CrawlerConfig()
+    assert(d.threadCount == 10 && d.maxLinks == 1000 && d.maxRetries == 3 &&
+      d.userAgent == "MyWebCrawler/1.0" && d.domainKeywordWeight == 3.0 &&
+      d.crossDomainKeywordWeight == 1.5 && d.retryDelaySec == 5)
+    val path = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.writeString(path,
+      """{
+        |  "thread_count": 4,
+        |  "max_links": 16,
+        |  "domain_keywords": {"a.example.com": ["news", "about"]},
+        |  "domain_keyword_weight": 2.5,
+        |  "unknown_field": "ignored"
+        |}""".stripMargin)
+    val c = CrawlerConfig.load(spark, path.toString)
+    assert(c.threadCount == 4 && c.maxLinks == 16)
+    assert(c.maxRetries == 3, "absent fields keep the reference defaults")
+    assert(c.domainKeywords == Map("a.example.com" -> Seq("news", "about")))
+    assert(c.domainKeywordWeight == 2.5 && c.crossDomainKeywordWeight == 1.5)
+    // unreadable file → all-default config, like the reference
+    assert(CrawlerConfig.load(spark, "/nonexistent/cfg.json") == CrawlerConfig())
+  }
+
+  test("config-driven crawl: non-default budget/batch change the wave structure") {
+    import graft.sources.CrawlerConfig
+    val spark = SparkFixture.spark
+    val out = Crawl.crawlOrderConfigured(spark, SparkFixture.Sf0001,
+      CrawlerConfig(maxLinks = 16, threadCount = 4))
+    assert(out.count() == 16, "max_links budget from config")
+    val waves = out.collect().groupBy(_.getAs[Int]("wave")).view.mapValues(_.length).toMap
+    assert(waves.values.forall(_ <= 4), "thread_count bounds each wave")
+    assert(waves.keySet == Set(0, 1, 2, 3))
+  }
+
+  test("fetch retry ladder: fail-fast 4xx, healing 5xx, budget exhaustion") {
+    val spark = SparkFixture.spark
+    val rows = Crawl.fetchWithRetry(spark, SparkFixture.Sf0001).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val id = r.getAs[Long]("docID")
+      val st = r.getAs[Int]("final_status")
+      val at = r.getAs[Int]("attempts")
+      val ok = r.getAs[Boolean]("ok")
+      (id % 23) match {
+        case 1 => assert(st == 404 && at == 1 && !ok, s"doc $id: 404 must never retry")
+        case 2 => assert(st == 200 && at == 3 && ok, s"doc $id: transient 503 heals at 3")
+        case 3 => assert(st == 503 && at == Crawl.RetryMax && !ok, s"doc $id: budget")
+        case 4 => assert(st == 404 && at == 2 && !ok, s"doc $id: 4xx on retry stops")
+        case _ => assert(st == 200 && at == 1 && ok, s"doc $id: first-try success")
+      }
+    }
+  }
+
   test("crawl: budget respected, no duplicates, robots-disallowed excluded, deterministic") {
     val spark = SparkFixture.spark
     val out1 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()

@@ -241,6 +241,40 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("build counters: accumulator gauges match lineage-level truth") {
+    val dir = "target/test-index-metrics"
+    new Directory(new java.io.File(dir)).deleteRecursively()
+    Index.build(spark, sfDir, dir, params)
+    val m = Index.lastBuildMetrics.get
+    val tfRows = spark.read.parquet(s"$dir/tf").count()
+    val sumLen = spark.read.parquet(s"$dir/docstats")
+      .agg(sum(col("len"))).head().getLong(0)
+    assert(m.docs == 500L)
+    assert(m.tokens == sumLen)
+    assert(m.postings == tfRows, "executor-side posting counter")
+    assert(m.segments > 0 && m.encodedBytes > 0)
+    assert(m.inputBytes > 0, "listener should observe scan bytes")
+    // resumed build does no work → counters stay at zero
+    Index.build(spark, sfDir, dir, params)
+    val m2 = Index.lastBuildMetrics.get
+    assert(m2.postings == 0L && m2.docs == 0L)
+  }
+
+  test("format version: stale/pre-version dirs rebuild instead of resuming") {
+    val dir = "target/test-index-version"
+    new Directory(new java.io.File(dir)).deleteRecursively()
+    Index.build(spark, sfDir, dir, params)
+    val before = new QueryEngine(spark, Seq(dir)).topKAll().collect().map(_.toSeq).toSeq
+    // simulate an old-layout dir: markers present, version file missing
+    Files.delete(Paths.get(s"$dir/_format_version"))
+    Index.build(spark, sfDir, dir, params)
+    assert(Files.exists(Paths.get(s"$dir/_format_version")))
+    assert(Index.lastBuildMetrics.get.postings > 0L,
+      "version mismatch must force a full rebuild, not a resume")
+    val after = new QueryEngine(spark, Seq(dir)).topKAll().collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("per-row sha256 invariant vs source table (input_hint)") {
     val src = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as("docID"), sha2(col("text"), 256).as("sha"))

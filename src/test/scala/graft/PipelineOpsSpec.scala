@@ -215,22 +215,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextStats.winnow(IndexedSeq("a", "b")).isEmpty) // < k tokens
   }
 
-  test("media features: histogram sums to 1, metadata matches payload bytes") {
+  test("media: real PNG/WAV decode recovers the encoder's true geometry") {
     val rows = Media.mediaFeaturesDS(spark, dir).collect()
     assert(rows.length == 500)
-    for (r <- rows.take(20)) {
-      assert(math.abs(r.hist.sum - 1.0) < 1e-9)
-      assert(r.n_bytes > 0 && r.format == "fake/raw")
-      assert(r.width == 16 + r.n_bytes % 64 && r.height == 16 + (r.n_bytes / 64) % 64)
+    for (r <- rows) {
+      assert(math.abs(r.hist.sum - 1.0) < 1e-9, s"doc ${r.docID} histogram")
+      assert(r.n_bytes > 0)
+      if (r.docID % 2 == 0) {
+        assert(r.format == "image/png")
+        assert(r.width == Media.pngWidth(r.docID) && r.height == Media.pngHeight(r.docID),
+          s"doc ${r.docID}: decoded raster size must equal the encoded size")
+      } else {
+        assert(r.format == "audio/wav")
+        assert(r.width == Media.wavSamples(r.docID) && r.height == Media.wavChannels(r.docID),
+          s"doc ${r.docID}: parsed WAV header must match the encoded layout")
+        // WAV blobs are byte-predictable: 44-byte header + 16-bit PCM
+        assert(r.n_bytes == 44L + Media.wavSamples(r.docID).toLong *
+          Media.wavChannels(r.docID) * 2)
+      }
     }
-    // decode stub is the identity on bytes → histogram of doc 0 must match
-    // a driver-side reference computation
-    val doc0 = Corpus.docs(spark, dir).filter(col("docID") === 0)
-      .select("content").head().getString(0).getBytes("UTF-8")
-    val ref = new Array[Double](Media.HistBins)
-    doc0.foreach(b => ref((b & 0xff) * Media.HistBins / 256) += 1.0)
-    val expected = ref.map(_ / doc0.length)
-    val got = rows.find(_.docID == 0L).get.hist
-    assert(got.zip(expected).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+  }
+
+  test("media: checked-in tiny PNG decodes to known size and histogram") {
+    val in = getClass.getResourceAsStream("/tiny_gray_4x3.png")
+    assert(in != null, "fixture src/test/resources/tiny_gray_4x3.png missing")
+    val payload = in.readAllBytes()
+    val (w, h, hist) = Media.decodePng(payload)
+    assert(w == 4 && h == 3)
+    // fixture pixels are grays 0,16,...,176 → one pixel in each of bins
+    // 0..11, nothing in 12..15
+    val expected = Array.tabulate(Media.HistBins)(b => if (b < 12) 1.0 / 12 else 0.0)
+    assert(hist.zip(expected).forall { case (x, y) => math.abs(x - y) < 1e-12 },
+      s"histogram ${hist.toSeq}")
+    val feats = Media.decodeFeatures(42L, payload)
+    assert(feats.format == "image/png" && feats.n_bytes == payload.length.toLong)
+    // WAV roundtrip on a hand-built clip
+    val wav = Media.encodeWav(7L)
+    val (n, ch, whist) = Media.decodeWav(wav)
+    assert(n == Media.wavSamples(7L) && ch == Media.wavChannels(7L))
+    assert(math.abs(whist.sum - 1.0) < 1e-9)
   }
 }
