@@ -232,14 +232,57 @@ object Similarity {
     array_min(array(entries: _*)).getField("cid")
   }
 
+  /** Above this nlist×dim budget the literal-array expression would blow
+    * up the plan (and fall out of codegen), so assignment switches to a
+    * typed kernel over the BROADCAST centroid matrix — still zero
+    * shuffle, and bit-identical to [[cellCol]] (same index-order double
+    * accumulation, same strict-less tie-break on lower cid). */
+  val CellExprBudget = 2048
+
+  private def assign(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    if (cents.length.toLong * cents(0).length <= CellExprBudget)
+      e.withColumn("cell", cellCol(cents))
+    else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(cents)
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, v) =>
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              val cv = cs(c)
+              var d = 0.0
+              var j = 0
+              while (j < cv.length) {
+                val t = v(j).toDouble - cv(j)
+                d += t * t
+                j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            (id, v, best)
+          }
+        }.toDF("vec_id", "embedding", "cell")
+    }
+
   /** Deterministic k-means: centroids init from evenly spaced vec_ids
     * (corpus order), then `iters` Lloyd rounds — each round is ONE job:
     * per-row argmin assignment (no shuffle) + a partial-agg groupBy that
     * shuffles only nlist rows of long sums. Returns the final
     * (vec_id, embedding, cell) assignment and the centroid table. */
   def ivfModel(spark: SparkSession, sfDir: String,
-               nlist: Int = IvfNlist, iters: Int = IvfIters): (DataFrame, Array[Array[Double]]) = {
-    val e = embeddingsOf(spark, sfDir)
+               nlist: Int = IvfNlist, iters: Int = IvfIters): (DataFrame, Array[Array[Double]]) =
+    ivfModelFrom(embeddingsOf(spark, sfDir), nlist, iters)
+
+  /** Same, over any (vec_id, embedding) frame — lets tests train on
+    * synthetic corpora with corpus-scaled nlist. */
+  def ivfModelFrom(e: DataFrame, nlist: Int = IvfNlist,
+                   iters: Int = IvfIters): (DataFrame, Array[Array[Double]]) = {
     val n = e.count()
     val step = math.max(1L, n / nlist)
     val seedIds = (0 until nlist).map(i => i * step)
@@ -252,7 +295,7 @@ object Similarity {
       val sumCols = (0 until dim).map(j =>
         sum(round(element_at(col("embedding"), j + 1).cast("double") * CentScale)
           .cast("long")))
-      val rows = e.withColumn("cell", cellCol(cents))
+      val rows = assign(e, cents)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("cnt"), array(sumCols: _*).as("vsum"))
         .collect()
@@ -265,7 +308,7 @@ object Similarity {
       }
       cents = next
     }
-    (e.withColumn("cell", cellCol(cents)), cents)
+    (assign(e, cents), cents)
   }
 
   /** Driver-side probe selection: nprobe nearest centroids per query by
@@ -289,14 +332,30 @@ object Similarity {
               queryIds: Seq[Long] = QueryIds, k: Int = K,
               nprobe: Int = IvfNprobe, dumpOracle: Boolean = false): DataFrame = {
     import spark.implicits._
-    val (asg, cents) = ivfModel(spark, sfDir)
     val e = embeddingsOf(spark, sfDir)
+    val (asg, cents) = ivfModelFrom(e)
     if (dumpOracle) {
       OracleSide.dump("ivf_asg", asg.select(col("vec_id"), col("cell")))
       OracleSide.dump("ivf_centroids",
         cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
           .toDF("cid", "centroid"))
     }
+    ivfRerank(e, asg, cents, queryIds, k, nprobe)
+  }
+
+  /** IVF top-k over any (vec_id, embedding) frame with explicit model
+    * size — the scale-fixture test entry. */
+  def ivfTopKFrom(e: DataFrame, queryIds: Seq[Long], k: Int = K,
+                  nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    val (asg, cents) = ivfModelFrom(e, nlist)
+    ivfRerank(e, asg, cents, queryIds, k, nprobe)
+  }
+
+  private def ivfRerank(e: DataFrame, asg: DataFrame,
+                        cents: Array[Array[Double]], queryIds: Seq[Long],
+                        k: Int, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
