@@ -98,6 +98,7 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextStats.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
+    "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
 
     // -- multimodal: real PNG/WAV synth + decode over binary payloads
     "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir, dumpOracle = true)),
@@ -183,6 +184,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKSql(),
     "dedup_simhash" -> Dedup.simhashDedupSql(),
     "doc_fingerprints" -> TextStats.fingerprintsSql,
+    "clone_pairs" -> TextStats.clonePairsSql(),
     "token_stats" -> TextStats.tokenStatsSql,
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,

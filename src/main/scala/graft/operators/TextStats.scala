@@ -265,4 +265,55 @@ object TextStats {
        |  coalesce(list_max(fps), CAST(0 AS BIGINT)) AS max_fp,
        |  coalesce(list_aggregate(fps, 'bit_xor'), CAST(0 AS BIGINT)) AS fp_xor
        |FROM ${graft.OracleSide.glob("fp_arrays")} ORDER BY docID""".stripMargin
+
+  // ------------------------------------------------------ clone detection
+
+  /** Pairs must share at least this many winnowing fingerprints. */
+  val CloneMinShared = 2
+
+  /** Fingerprints present in more than this many docs are boilerplate
+    * (license headers, shared templates) and are dropped before pairing
+    * — standard winnowing practice, and the thing that keeps the
+    * self-join linear at corpus scale: without it one ubiquitous
+    * fingerprint makes the equi-join quadratic. */
+  val CloneMaxFpDf = 50
+
+  /** Clone detection over the winnowing fingerprints — the downstream
+    * consumer of [[fingerprintArrays]]: docs sharing ≥ minShared
+    * (non-boilerplate) fingerprints, with the shared count.
+    * Plan: explode → df-filter (anti-join against hot fps) → self
+    * equi-join on fp → pair count. All relational, so the DuckDB twin
+    * ([[clonePairsSql]]) replays it exactly from the dumped arrays. */
+  def clonePairs(spark: SparkSession, sfDir: String,
+                 minShared: Int = CloneMinShared, maxFpDf: Int = CloneMaxFpDf,
+                 dumpOracle: Boolean = false): DataFrame = {
+    val arrays = fingerprintArrays(spark, sfDir)
+    if (dumpOracle) graft.OracleSide.dump("fp_arrays_clone", arrays)
+    val fp = arrays.select(col("docID"), explode(col("fps")).as("fp"))
+    val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDf)
+    val pruned = fp.join(hot.select(col("fp")), Seq("fp"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.docID") < col("b.docID"))
+      .groupBy(col("a.docID").as("docA"), col("b.docID").as("docB"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("docA"), col("docB"))
+  }
+
+  /** DuckDB twin of [[clonePairs]] over the materialized arrays. */
+  def clonePairsSql(minShared: Int = CloneMinShared,
+                    maxFpDf: Int = CloneMaxFpDf): String =
+    s"""WITH f AS (
+       |  SELECT docID, unnest(fps) AS fp
+       |  FROM ${graft.OracleSide.glob("fp_arrays_clone")}
+       |),
+       |hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > $maxFpDf),
+       |p AS (SELECT docID, fp FROM f WHERE fp NOT IN (SELECT fp FROM hot))
+       |SELECT a.docID AS docA, b.docID AS docB,
+       |       CAST(count(*) AS BIGINT) AS shared
+       |FROM p a JOIN p b ON a.fp = b.fp AND a.docID < b.docID
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY docA, docB""".stripMargin
 }

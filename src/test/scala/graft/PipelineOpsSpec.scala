@@ -235,6 +235,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => langs.contains(r.getString(1))))
   }
 
+  test("clone pairs: near-dup docs surface, ordering/threshold invariants hold") {
+    val pairs = TextStats.clonePairs(spark, dir).collect()
+    assert(pairs.nonEmpty, "corpus has planted near-dups — clones must surface")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getLong(2) >= TextStats.CloneMinShared))
+    // winnowing clones should substantially overlap the jaccard near-dups
+    val jac = Dedup.bruteJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clo = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((jac & clo).size.toDouble / jac.size >= 0.8,
+      s"jaccard pairs ${jac.size}, clone pairs ${clo.size}, overlap ${(jac & clo).size}")
+  }
+
   test("winnowing: local edits far from a region keep shared fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
     val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end
