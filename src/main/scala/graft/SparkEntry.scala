@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.bruteJaccard(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshDedup(s, dir)),
+    "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir, dumpOracle = true)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
 
@@ -175,6 +176,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.jaccardSql(),
     // LSH+verify must reproduce the brute-force contract exactly
     "dedup_minhash_lsh" -> Dedup.jaccardSql(),
+    "dedup_groups" -> Dedup.dedupGroupsSql(),
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "ann_cosine_topk" -> Similarity.bruteTopKSql(),
     // materialized-artifact oracles (see OracleSide): the DuckDB twin

@@ -174,6 +174,66 @@ object Dedup {
       .orderBy(col("docA"), col("docB"))
   }
 
+  // ------------------------------------------- near-dup group canonicals
+
+  /** Connected components over the verified near-dup pair graph: every
+    * doc that appears in a pair, keyed to its component representative
+    * (minimum docID reachable through near-dup edges) — the step that
+    * turns pairwise dedup into "keep one canonical doc per group".
+    *
+    * Iterative min-label propagation to fixpoint; rounds ≤ component
+    * diameter, and near-dup components are shallow (dup clusters are
+    * near-cliques). At 10^12-doc scale the same loop runs with
+    * large-star/small-star alternation to bound rounds at O(log n);
+    * the propagation step itself is the identical join+min shape.
+    * Deterministic: min-label is order-independent. */
+  def dedupGroups(spark: SparkSession, sfDir: String,
+                  tau: Double = JaccardTau): DataFrame = {
+    val pairs = minhashLshDedup(spark, sfDir, tau).select(col("docA"), col("docB"))
+    val edges = pairs
+      .unionAll(pairs.select(col("docB").as("docA"), col("docA").as("docB")))
+      .localCheckpoint() // also truncates the LSH lineage for the loop
+    var labels = edges.select(col("docA").as("docID")).distinct()
+      .withColumn("label", col("docID"))
+      .localCheckpoint()
+    var changed = true
+    while (changed) {
+      val neighborMin = edges
+        .join(labels.select(col("docID").as("docB"), col("label").as("nl")), "docB")
+        .groupBy(col("docA").as("docID"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("docID"), "left")
+        .select(col("docID"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("docID"), col("label").as("old")), "docID")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count() > 0
+      labels = next
+    }
+    labels.select(col("docID"), col("label").as("rep_docID"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin: the same pair set re-derived from scratch (the
+    * jaccard pipeline as a CTE) and closed transitively with a
+    * RECURSIVE CTE — a fully independent oracle, no materialization. */
+  def dedupGroupsSql(tau: Double = JaccardTau): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${jaccardSql(tau)}
+       |),
+       |e AS (SELECT docA AS a, docB AS b FROM pairs
+       |      UNION SELECT docB, docA FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+       |)
+       |SELECT a AS docID, least(a, min(b)) AS rep_docID
+       |FROM reach GROUP BY a ORDER BY docID""".stripMargin
+
   // --------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: bit j set iff Σ_terms tf·(±1 by bit j of

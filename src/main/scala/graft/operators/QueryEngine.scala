@@ -467,7 +467,8 @@ final class QueryEngine(
     numRanges: Int = 32,
     broadcastNormsUpTo: Long = 40_000_000L,
     dictCacheUpTo: Long = 1_000_000L,
-    broadcastPostingsUpTo: Long = 8_000_000L) extends Serializable {
+    broadcastPostingsUpTo: Long = 8_000_000L,
+    cachePostings: Boolean = true) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
@@ -507,9 +508,20 @@ final class QueryEngine(
     indexDirs.map(d => Index.readDocStats(spark, d)).reduce(_ union _)
 
   /** One postings DataFrame per constituent index, opened once — the
-    * file listing / schema read would otherwise repeat on every query. */
+    * file listing / schema read would otherwise repeat on every query.
+    * With `cachePostings` (default), the compressed segments are pinned
+    * in executor storage memory (a search service keeps its index hot):
+    * queries then skip in-memory batches on (bucket, term) stats instead
+    * of re-reading parquet per query. MEMORY_AND_DISK and LRU-evictable,
+    * so an index bigger than the cluster degrades gracefully to the
+    * parquet path rather than failing. */
   private val postingsByDir: Map[String, DataFrame] =
-    indexDirs.map(d => d -> spark.read.parquet(s"$d/postings")).toMap
+    indexDirs.map { d =>
+      val df = spark.read.parquet(s"$d/postings")
+      d -> (if (cachePostings)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df)
+    }.toMap
 
   private def segmentsOf(dir: String, terms: Seq[String],
                          buckets: Seq[Int]) =
@@ -559,6 +571,7 @@ final class QueryEngine(
     sideBcCache.values.foreach(_.destroy())
     sideBcCache.clear()
     normsBc.foreach(_.destroy())
+    if (cachePostings) postingsByDir.values.foreach(_.unpersist(false))
   }
 
   /** Per constituent index: the query terms it knows, with ITS bucket

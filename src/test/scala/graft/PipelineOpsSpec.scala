@@ -31,6 +31,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= Dedup.JaccardTau))
   }
 
+  test("dedup groups: valid connected components of the near-dup graph") {
+    val pairs = Dedup.minhashLshDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Dedup.dedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.nonEmpty)
+    // every doc in a pair has a label; endpoints of an edge share it
+    for ((a, b) <- pairs) {
+      assert(groups.contains(a) && groups.contains(b))
+      assert(groups(a) == groups(b), s"edge ($a,$b) split across components")
+    }
+    // the representative is the component minimum and labels itself
+    for ((d, rep) <- groups) {
+      assert(rep <= d)
+      assert(groups(rep) == rep, s"rep $rep of $d is not a fixpoint")
+    }
+  }
+
   test("simhash banded join == brute-force cross join") {
     val banded = Dedup.simhashDedup(spark, dir).collect().map(_.toSeq).toSeq
     val brute = Dedup.simhashBrute(spark, dir).collect().map(_.toSeq).toSeq
