@@ -83,6 +83,8 @@ object SparkEntry {
 
     // -- training-data pipeline: deduplication family
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "dedup_exact_stream" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.exactDedupStreaming(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.bruteJaccard(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshDedup(s, dir)),
     "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(s, dir)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "token_stats" -> ((s, dir) => TextStats.tokenStats(s, dir)),
     "quality_score" -> ((s, dir) => TextStats.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
+    "doc_xent" -> ((s, dir) => TextStats.docXent(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
 
@@ -173,6 +176,8 @@ object SparkEntry {
     "substring_search" -> SubstringSearch.oracleSql,
 
     "dedup_exact" -> Dedup.exactDedupSql,
+    // stateful streaming dedup must land on the identical batch frame
+    "dedup_exact_stream" -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard" -> Dedup.jaccardSql(),
     // LSH+verify must reproduce the brute-force contract exactly
     "dedup_minhash_lsh" -> Dedup.jaccardSql(),
@@ -190,6 +195,7 @@ object SparkEntry {
     "token_stats" -> TextStats.tokenStatsSql,
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,
+    "doc_xent" -> TextStats.docXentSql,
     "media_features" -> Media.mediaFeaturesSql,
     "events_windowed" -> Events.windowedSql,
     "events_sessions" -> Events.sessionsSql,

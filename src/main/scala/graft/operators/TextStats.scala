@@ -186,6 +186,89 @@ object TextStats {
       |  FROM scores
       |) WHERE rn = 1 ORDER BY docID""".stripMargin
 
+  // ------------------------------------------------- model-based quality
+
+  /** Per-doc cross-entropy under the doc's OWN language's NB unigram
+    * model (same training/smoothing as [[langIdNb]]):
+    *   xent(d) = −(Σ_{t∈d∩lang} tf·lp + (|d| − tf_present)·lp0) / |d|
+    * — the "perplexity-style" quality signal of a training-data
+    * pipeline: boilerplate/low-entropy docs score low, lexical garbage
+    * scores high. Same closed-form smoothing (only observed (lang,term)
+    * rows materialize); one extra join vs langIdNb because each doc is
+    * scored against one lang only. Output (docID, lang, xent). */
+  def docXent(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Corpus.docs(spark, sfDir)
+    val tf = Bm25.termFreq(docs)
+    val docLang = docs.select(col("docID"), col("lang"))
+    val langTf = tf.join(docLang, "docID")
+      .groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("c"))
+    val vocabSize = tf.select(col("term")).distinct().count()
+    val langTotals = langTf.groupBy(col("lang")).agg(sum(col("c")).as("total"))
+    val lp = langTf.join(langTotals, "lang")
+      .withColumn("lp", log((col("c") + 1).cast("double") /
+        (col("total") + lit(vocabSize)).cast("double")))
+      .select(col("term"), col("lang"), col("lp"))
+    val lp0 = langTotals
+      .withColumn("lp0", log(lit(1.0) /
+        (col("total") + lit(vocabSize)).cast("double")))
+      .select(col("lang"), col("lp0"))
+    val docLen = tf.groupBy(col("docID")).agg(sum(col("tf")).as("dlen"))
+    val present = tf.join(docLang, "docID")
+      .join(lp, Seq("term", "lang")) // doc scored against its own lang only
+      .groupBy(col("docID"))
+      .agg(sum(col("tf") * col("lp")).as("psum"), sum(col("tf")).as("ptf"))
+    docLen.join(docLang, "docID").join(broadcast(lp0), "lang")
+      .join(present, Seq("docID"), "left")
+      .withColumn("xent",
+        round(-(coalesce(col("psum"), lit(0.0)) +
+          (col("dlen") - coalesce(col("ptf"), lit(0L))).cast("double") * col("lp0"))
+          / col("dlen").cast("double"), 4))
+      .select(col("docID"), col("lang"), col("xent"))
+      .orderBy(col("docID"))
+  }
+
+  def docXentSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id AS docID, t.term AS term
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+      |  WHERE t.term <> ''
+      |), tf AS (
+      |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (SELECT doc_id AS docID, lang FROM documents),
+      |langtf AS (
+      |  SELECT dl.lang, tf.term, CAST(sum(tf.tf) AS BIGINT) AS c
+      |  FROM tf JOIN dl USING (docID) GROUP BY 1, 2
+      |),
+      |vs AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
+      |totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM langtf GROUP BY 1),
+      |lp AS (
+      |  SELECT langtf.term, langtf.lang,
+      |         ln(CAST(langtf.c + 1 AS DOUBLE)
+      |            / CAST(totals.total + vs.v AS DOUBLE)) AS lp
+      |  FROM langtf JOIN totals USING (lang) CROSS JOIN vs
+      |),
+      |lp0 AS (
+      |  SELECT lang, ln(1.0 / CAST(totals.total + vs.v AS DOUBLE)) AS lp0
+      |  FROM totals CROSS JOIN vs
+      |),
+      |doclen AS (SELECT docID, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+      |present AS (
+      |  SELECT tf.docID, sum(tf.tf * lp.lp) AS psum,
+      |         CAST(sum(tf.tf) AS BIGINT) AS ptf
+      |  FROM tf JOIN dl USING (docID)
+      |  JOIN lp ON lp.term = tf.term AND lp.lang = dl.lang
+      |  GROUP BY 1
+      |)
+      |SELECT d.docID, dl.lang,
+      |       round(-(coalesce(p.psum, 0.0)
+      |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0)
+      |             / CAST(d.dlen AS DOUBLE), 4) AS xent
+      |FROM doclen d
+      |JOIN dl USING (docID)
+      |JOIN lp0 l USING (lang)
+      |LEFT JOIN present p ON p.docID = d.docID
+      |ORDER BY docID""".stripMargin
+
   // -------------------------------------------------------- fingerprints
 
   /** Winnowing parameters: k-token shingle hashes, window w minima. */

@@ -266,6 +266,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"jaccard pairs ${jac.size}, clone pairs ${clo.size}, overlap ${(jac & clo).size}")
   }
 
+  test("doc xent: positive, finite, one row per tokenized doc") {
+    val rows = TextStats.docXent(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getDouble(2) > 0.0 && !r.getDouble(2).isInfinite),
+      "cross-entropy under the doc's own lang model is positive and finite")
+    // a doc's xent can't be lower than ln of the smallest possible
+    // probability's complement bound — sanity: below ln(vocab) * 2
+    assert(rows.forall(_.getDouble(2) < 30.0))
+  }
+
   test("winnowing: local edits far from a region keep shared fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
     val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{Bm25, Index, QueryEngine}
 import graft.operators.Index.BuildParams
-import graft.streaming.{Events, IncrementalIndex}
+import graft.streaming.{Events, IncrementalIndex, StreamingDedup}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.reflect.io.Directory
@@ -131,5 +131,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(streamed == sealedSessions,
       s"streamed ${streamed.size} sessions, expected ${sealedSessions.size} sealed of ${batch.size}")
+  }
+
+  test("stateful streaming dedup (mapGroupsWithState) == batch exact dedup") {
+    val streamed = StreamingDedup.exactDedupStreaming(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Dedup.exactDedup(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
   }
 }
