@@ -101,6 +101,8 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextStats.qualityScore(s, dir)),
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
     "doc_xent" -> ((s, dir) => TextStats.docXent(s, dir)),
+    "sample_stratified" -> ((s, dir) => TextStats.sampleStratified(s, dir)),
+    "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
 
@@ -196,6 +198,8 @@ object SparkEntry {
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,
     "doc_xent" -> TextStats.docXentSql,
+    "sample_stratified" -> TextStats.sampleStratifiedSql(),
+    "pack_sequences" -> TextStats.packSequencesSql(),
     "media_features" -> Media.mediaFeaturesSql,
     "events_windowed" -> Events.windowedSql,
     "events_sessions" -> Events.sessionsSql,

@@ -186,6 +186,90 @@ object TextStats {
       |  FROM scores
       |) WHERE rn = 1 ORDER BY docID""".stripMargin
 
+  // -------------------------------------------- deterministic sampling
+
+  /** Docs to keep per language stratum. */
+  val SampleQuota = 100
+
+  /** Deterministic stratified subsample: within each language, rank docs
+    * by sha256(content) — a uniform, content-keyed, engine-independent
+    * "random" order — and keep the first [[SampleQuota]]. The standard
+    * reproducible-sampling trick for training-data pipelines: no RNG
+    * state, same selection on any cluster, and rerunning after an
+    * append only re-ranks the affected stratum.
+    * Scale: one window per stratum — partitions are languages, so the
+    * sort is per-stratum, not global. Output (docID, lang, rk). */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+                       quota: Int = SampleQuota): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("sha"), col("docID"))
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), col("lang"), sha2(col("content"), 256).as("sha"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("docID"), col("lang"), col("rk"))
+      .orderBy(col("docID"))
+  }
+
+  def sampleStratifiedSql(quota: Int = SampleQuota): String =
+    s"""SELECT docID, lang, rk FROM (
+       |  SELECT doc_id AS docID, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY sha256(text), doc_id) AS rk
+       |  FROM documents
+       |) WHERE rk <= $quota ORDER BY docID""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 512
+
+  /** Contiguous sequence packing: within each language, in docID order,
+    * assign each doc to the training sequence its STARTING token offset
+    * falls into (seq_id = floor(cumulative_tokens_before / budget)) —
+    * the deterministic, windowed formulation of greedy sequence packing
+    * for pretraining batches (docs longer than the budget straddle, as
+    * in real packers that then split on the boundary).
+    * Scale: cumsum window per language stratum; at 100 TB you'd add a
+    * shard key to the partition to bound per-stratum sort size.
+    * Output (docID, lang, n_tokens, seq_id, seq_offset). */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    budget: Int = PackBudget): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("docID"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), col("lang"),
+        size(graft.functions.Analyzer.tokensCol(col("content")))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / budget))
+      .withColumn("seq_offset", col("cum_before") % budget)
+      .select(col("docID"), col("lang"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy(col("docID"))
+  }
+
+  def packSequencesSql(budget: Int = PackBudget): String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS docID, lang,
+       |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                              x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT docID, lang, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY docID
+       |                                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                      AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT docID, lang, n_tokens,
+       |       CAST(floor(cum_before / $budget) AS BIGINT) AS seq_id,
+       |       cum_before % $budget AS seq_offset
+       |FROM c ORDER BY docID""".stripMargin
+
   // ------------------------------------------------- model-based quality
 
   /** Per-doc cross-entropy under the doc's OWN language's NB unigram

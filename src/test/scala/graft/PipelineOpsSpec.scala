@@ -276,6 +276,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) < 30.0))
   }
 
+  test("stratified sample: quota per lang, deterministic, content-keyed") {
+    val rows = TextStats.sampleStratified(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    val langSizes = Corpus.docs(spark, dir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rs) <- byLang)
+      assert(rs.length == math.min(TextStats.SampleQuota, langSizes(lang)))
+    // rerun identical (no RNG state anywhere)
+    val again = TextStats.sampleStratified(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
+  test("sequence packing: offsets consistent with cumulative token flow") {
+    val rows = TextStats.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, grp) <- rows.groupBy(_._2)) {
+      val sorted = grp.sortBy(_._1)
+      var cum = 0L
+      for ((_, _, n, seq, off) <- sorted) {
+        assert(seq == cum / TextStats.PackBudget && off == cum % TextStats.PackBudget)
+        cum += n
+      }
+    }
+  }
+
   test("winnowing: local edits far from a region keep shared fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
     val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end
