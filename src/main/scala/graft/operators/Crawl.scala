@@ -33,6 +33,10 @@ object Crawl {
     * for everyone (exercises P4/F9 on real rule matching). */
   val RobotsTxt = "User-agent: *\nDisallow: /private/ # keep out\n"
 
+  /** Variant with a crawl delay — exercises the T1 politeness gate. */
+  val RobotsTxtDelayed =
+    "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+
   private def normUdf = udf(UrlFunctions.normalizeUrl _)
 
   /** Deterministic synthetic web: one site per repo, one page per doc
@@ -99,10 +103,16 @@ object Crawl {
                  maxLinks: Int = MaxLinks, batch: Int = Batch,
                  domainKeywords: Map[String, Seq[String]] = Map.empty,
                  ownWeight: Double = 3.0, crossWeight: Double = 1.5,
+                 robotsTxt: String = RobotsTxt,
                  dumpOracle: Boolean = false): DataFrame = {
     import spark.implicits._
     val site = pages(spark, sfDir).cache()
-    val robots = UrlFunctions.parseRobots(RobotsTxt)
+    val robots = UrlFunctions.parseRobots(robotsTxt)
+    // T1 per-domain politeness: a robots Crawl-delay throttles same-
+    // domain fetches — batch analogue: a delayed domain contributes at
+    // most ONE url per dispatch wave (the reference paces same-domain
+    // fetches crawl_delay seconds apart within a dispatch round)
+    val crawlDelay = robots.get("*").map(_.crawlDelay).getOrElse(0)
     val robotsBc = spark.sparkContext.broadcast(robots)
     val seedDomains = Corpus.docs(spark, sfDir).select(col("repo")).distinct()
       .collect().map(r => r.getString(0) + ".example.com").toSeq
@@ -145,9 +155,18 @@ object Crawl {
     var visitedCount = 0L
     while (visitedCount < maxLinks && !frontier.isEmpty) {
       val take = math.min(batch.toLong, maxLinks - visitedCount).toInt
+      val eligible =
+        if (crawlDelay > 0) {
+          val domUdf = udf(UrlFunctions.extractDomain _)
+          val wD = Window.partitionBy(col("domain"))
+            .orderBy(col("priority").desc, col("url").asc)
+          frontier.withColumn("domain", domUdf(col("url")))
+            .withColumn("rkd", row_number().over(wD))
+            .filter(col("rkd") === 1).drop("domain", "rkd")
+        } else frontier
       // localCheckpoint truncates the logical plan each wave — iterative
       // unions/joins otherwise grow the plan exponentially
-      val top = frontier.orderBy(col("priority").desc, col("url").asc).limit(take)
+      val top = eligible.orderBy(col("priority").desc, col("url").asc).limit(take)
         .withColumn("wave", lit(wave)).localCheckpoint()
       visited = visited.unionAll(top).localCheckpoint()
       visitedCount = visited.count()

@@ -184,6 +184,22 @@ class CrawlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("politeness: a robots crawl-delay caps each wave at one url per domain") {
+    val spark = SparkFixture.spark
+    val out = Crawl.crawlOrder(spark, SparkFixture.Sf0001,
+      robotsTxt = Crawl.RobotsTxtDelayed).collect()
+    assert(out.nonEmpty && out.length <= Crawl.MaxLinks)
+    val perWaveDomain = out.groupBy { r =>
+      (r.getAs[Int]("wave"),
+        U.extractDomain(r.getAs[String]("url")))
+    }
+    assert(perWaveDomain.values.forall(_.length == 1),
+      "a delayed domain must contribute at most one url per wave")
+    assert(!out.map(_.getAs[String]("url")).exists(_.contains("/private/")))
+    // the gate defers, not drops: later waves still progress the crawl
+    assert(out.map(_.getAs[Int]("wave")).distinct.length > 2)
+  }
+
   test("crawl: budget respected, no duplicates, robots-disallowed excluded, deterministic") {
     val spark = SparkFixture.spark
     val out1 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()
