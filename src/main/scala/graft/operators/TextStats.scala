@@ -197,15 +197,35 @@ object TextStats {
     * reproducible-sampling trick for training-data pipelines: no RNG
     * state, same selection on any cluster, and rerunning after an
     * append only re-ranks the affected stratum.
-    * Scale: one window per stratum — partitions are languages, so the
-    * sort is per-stratum, not global. Output (docID, lang, rk). */
+    *
+    * Two-phase exact top-K per stratum: a map-side BOUNDED heap keeps at
+    * most quota rows per (input partition, lang) — so the shuffle and
+    * the final window see ≤ quota × partitions rows per stratum, never
+    * the stratum itself (a naive per-lang window would SORT a whole
+    * multi-TB stratum in one task at web scale). The survivor superset
+    * provably contains the global top-quota, so the result is identical
+    * to the one-window formulation. Output (docID, lang, rk). */
   def sampleStratified(spark: SparkSession, sfDir: String,
                        quota: Int = SampleQuota): DataFrame = {
+    import spark.implicits._
+    val hashed = Corpus.docs(spark, sfDir)
+      .select(col("docID"), col("lang"), sha2(col("content"), 256).as("sha"))
+      .as[(Long, String, String)]
+    val survivors = hashed.mapPartitions { it =>
+      val heaps = collection.mutable.Map.empty[String, collection.mutable.TreeSet[(String, Long)]]
+      it.foreach { case (id, lang, sha) =>
+        val h = heaps.getOrElseUpdate(lang, collection.mutable.TreeSet.empty)
+        h += ((sha, id))
+        if (h.size > quota) h -= h.last
+      }
+      heaps.iterator.flatMap { case (lang, h) =>
+        h.iterator.map { case (sha, id) => (id, lang, sha) }
+      }
+    }.toDF("docID", "lang", "sha")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("sha"), col("docID"))
-    Corpus.docs(spark, sfDir)
-      .select(col("docID"), col("lang"), sha2(col("content"), 256).as("sha"))
+    survivors
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= quota)
       .select(col("docID"), col("lang"), col("rk"))
