@@ -67,8 +67,8 @@ def main():
                         print(f"  first diff at row {i}:\n   spark={a}\n   duck ={b}")
                         break
                 if len(sf) != len(of):
-                    longer, tag = (sf, "spark"), (of, "duck")
-                    print(f"  extra rows on {'spark' if len(sf)>len(of) else 'duck'} side")
+                    longer, side = (sf, "spark") if len(sf) > len(of) else (of, "duck")
+                    print(f"  extra rows on {side} side, first: {longer[min(len(sf), len(of))]}")
             elif not ok_schema:
                 print(f"  spark cols={sorted(s_cols)}\n  duck  cols={sorted(o_cols)}")
             n_fail += 1

@@ -136,6 +136,9 @@ object Crawl {
     if (dumpOracle) {
       require(domainKeywords.isEmpty,
         "crawl oracle SQL models the default (empty) domain-keyword config")
+      require(robotsTxt == RobotsTxt,
+        "crawl oracle SQL models the default robots (no politeness gate); " +
+          "pair non-default budget/batch with crawlOrderSql(maxLinks, batch)")
       graft.OracleSide.dump("crawl_seeds", seeds.select(col("url")))
       val kwUdf = udf(UrlFunctions.keywordScore _)
       val domUdf = udf(UrlFunctions.domainScore _)
@@ -205,36 +208,44 @@ object Crawl {
     * addition order as `UrlFunctions.priority`, from the materialized
     * per-url kw/dom components. */
   def crawlOrderSql(maxLinks: Int = MaxLinks, batch: Int = Batch): String = {
-    val waves = (maxLinks + batch - 1) / batch
+    // One layer per POTENTIAL wave: a starved wave (frontier smaller
+    // than the remaining batch) pops fewer rows, so the Spark loop can
+    // run up to maxLinks iterations, not ceil(maxLinks/batch). Each
+    // layer takes min(batch, budget left) via row_number + a scalar
+    // subquery over the visited count, and goes empty exactly when the
+    // Spark loop would stop iterating (budget spent or frontier drained).
+    val waves = maxLinks
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT src, dst, kw, dom FROM ${graft.OracleSide.glob("crawl_edges")}),
-         |kd AS (SELECT DISTINCT dst, kw, dom FROM e),
-         |f0 AS (SELECT url, 0 AS depth, CAST(10.0 AS DOUBLE) AS priority
+      s"""WITH e AS MATERIALIZED (SELECT src, dst, kw, dom FROM ${graft.OracleSide.glob("crawl_edges")}),
+         |kd AS MATERIALIZED (SELECT DISTINCT dst, kw, dom FROM e),
+         |f0 AS MATERIALIZED (SELECT url, 0 AS depth, CAST(10.0 AS DOUBLE) AS priority
          |       FROM ${graft.OracleSide.glob("crawl_seeds")}),
-         |vis0 AS (SELECT url, depth, priority, 0 AS wave FROM f0 WHERE 1 = 0),
+         |vis0 AS MATERIALIZED (SELECT url, depth, priority, 0 AS wave FROM f0 WHERE 1 = 0),
          |""".stripMargin)
-    var taken = 0
     for (w <- 0 until waves) {
-      val take = math.min(batch, maxLinks - taken)
-      taken += take
       sb.append(
-        s"""top$w AS (SELECT url, depth, priority, $w AS wave FROM f$w
-           |          ORDER BY priority DESC, url ASC LIMIT $take),
-           |vis${w + 1} AS (SELECT * FROM vis$w UNION ALL SELECT * FROM top$w),
-           |new$w AS (
+        s"""top$w AS MATERIALIZED (
+           |  SELECT url, depth, priority, $w AS wave FROM (
+           |    SELECT url, depth, priority,
+           |           row_number() OVER (ORDER BY priority DESC, url ASC) AS rn
+           |    FROM f$w
+           |  ) WHERE rn <= least($batch, $maxLinks - (SELECT count(*) FROM vis$w))
+           |),
+           |vis${w + 1} AS MATERIALIZED (SELECT * FROM vis$w UNION ALL SELECT * FROM top$w),
+           |new$w AS MATERIALIZED (
            |  SELECT e.dst AS url, min(t.depth + 1) AS depth
            |  FROM top$w t JOIN e ON e.src = t.url
            |  WHERE e.dst NOT IN (SELECT url FROM vis${w + 1})
            |    AND e.dst NOT IN (SELECT url FROM f$w)
            |  GROUP BY e.dst
            |),
-           |newp$w AS (
+           |newp$w AS MATERIALIZED (
            |  SELECT n.url, n.depth,
            |         kd.kw + greatest(0.1, 2.0 / (n.depth + 1.0)) + kd.dom AS priority
            |  FROM new$w n JOIN kd ON kd.dst = n.url
            |),
-           |f${w + 1} AS (
+           |f${w + 1} AS MATERIALIZED (
            |  SELECT url, depth, priority FROM (
            |    SELECT url, depth, priority FROM f$w
            |    WHERE url NOT IN (SELECT url FROM top$w)
@@ -244,7 +255,7 @@ object Crawl {
            |""".stripMargin)
     }
     sb.append(
-      s"""fin AS (
+      s"""fin AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY wave, round(priority, 4) DESC, url)
          |           AS "order",
          |         wave, url, depth, round(priority, 4) AS priority

@@ -148,13 +148,16 @@ object Index {
     if (cur != FormatVersion) {
       if (Files.isDirectory(dir)) {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("_done_"))
-          .foreach(Files.delete)
+        scala.util.Using.resource(Files.list(dir)) { st =>
+          st.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("_done_"))
+            .foreach(Files.delete)
+        }
         val lineage = dir.resolve("lineage")
         if (Files.isDirectory(lineage))
-          Files.walk(lineage).iterator().asScala.toSeq.reverse
-            .foreach(Files.delete)
+          scala.util.Using.resource(Files.walk(lineage)) { st =>
+            st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
       }
       Files.createDirectories(dir)
       Files.write(vf, FormatVersion.getBytes("UTF-8"))
@@ -201,6 +204,9 @@ object Index {
       buildStage1(spark, docs, indexDir, p)
       buildFromTf(spark, indexDir, p, m)
     } finally {
+      // drain the async listener bus first, or tail TaskEnd events of the
+      // final stage may be missed by the byte gauges
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       lastBuildMetrics = Some(BuildMetricsSnapshot(
         m.docs.value, m.tokens.value, m.postings.value, m.segments.value,

@@ -180,9 +180,12 @@ object Media {
 
   /** Per-row features via typed mapPartitions (the batch shape a Pandas
     * UDF / vectorized decoder would use). */
-  def mediaFeaturesDS(spark: SparkSession, sfDir: String) = {
+  def mediaFeaturesDS(spark: SparkSession, sfDir: String) =
+    mediaFeaturesFrom(spark, mediaTable(spark, sfDir))
+
+  def mediaFeaturesFrom(spark: SparkSession, table: DataFrame) = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[(Long, Array[Byte])]
+    table.as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => decodeFeatures(id, payload) })
   }
 
@@ -193,9 +196,12 @@ object Media {
     * against a checked-in fixture instead. */
   def mediaFeatures(spark: SparkSession, sfDir: String,
                     dumpOracle: Boolean = false): DataFrame = {
-    if (dumpOracle)
-      OracleSide.dump("media_payloads", mediaTable(spark, sfDir))
-    mediaFeaturesDS(spark, sfDir)
+    // cache: the payload synthesis (PNG deflate per doc) is the dominant
+    // cost — pay it once for the dump write and the decode pass
+    val table =
+      if (dumpOracle) mediaTable(spark, sfDir).cache() else mediaTable(spark, sfDir)
+    if (dumpOracle) OracleSide.dump("media_payloads", table)
+    mediaFeaturesFrom(spark, table)
       .toDF()
       .select(col("docID"), col("format"), col("n_bytes"),
         col("width"), col("height"))

@@ -551,13 +551,20 @@ final class QueryEngine(
 
   private def sideBroadcast(key: String)(
       compute: => Map[String, Array[PostingSegment]]) = synchronized {
-    sideBcCache.get(key) match {
-      case Some(b) => b
+    sideBcCache.remove(key) match {
+      case Some(b) => // LRU touch: re-insert at the tail
+        sideBcCache.put(key, b)
+        b
       case None =>
         if (sideBcCache.size >= sideBcCacheMax) {
           val (k0, b0) = sideBcCache.head
           sideBcCache.remove(k0)
-          b0.destroy()
+          // unpersist, NOT destroy: an unconsumed lazy frame (or a query
+          // running on another thread) may still reference the evicted
+          // broadcast — unpersist frees executor copies and lets Spark
+          // re-ship from the driver if it is used again; destroy() would
+          // make such frames throw. Final destroy happens in close().
+          b0.unpersist(false)
         }
         val b = spark.sparkContext.broadcast(compute)
         sideBcCache.put(key, b)

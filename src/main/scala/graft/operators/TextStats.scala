@@ -109,8 +109,14 @@ object TextStats {
     * — only OBSERVED (lang, term) rows are ever materialized. The
     * round-1 plan built the full |vocab|×|langs| smoothed grid (10⁹+
     * rows at web scale) just to inject zeros. */
-  def langIdNb(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Corpus.docs(spark, sfDir)
+  /** Shared NB unigram model (used by [[langIdNb]] and [[docXent]]):
+    * tf, (docID, lang), observed-(lang, term) log-probs, per-lang
+    * absent-term log-prob, per-doc token totals — closed-form add-one
+    * smoothing throughout. */
+  final case class NbModel(tf: DataFrame, docLang: DataFrame,
+                           lp: DataFrame, lp0: DataFrame, docLen: DataFrame)
+
+  def nbModel(docs: DataFrame): NbModel = {
     val tf = Bm25.termFreq(docs) // (docID, term, tf)
     val docLang = docs.select(col("docID"), col("lang"))
     val langTf = tf.join(docLang, "docID")
@@ -126,6 +132,12 @@ object TextStats {
         (col("total") + lit(vocabSize)).cast("double")))
       .select(col("lang"), col("lp0"))
     val docLen = tf.groupBy(col("docID")).agg(sum(col("tf")).as("dlen"))
+    NbModel(tf, docLang, lp, lp0, docLen)
+  }
+
+  def langIdNb(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = nbModel(Corpus.docs(spark, sfDir))
+    import m._
     val present = tf.join(lp, "term")
       .groupBy(col("docID"), col("lang"))
       .agg(sum(col("tf") * col("lp")).as("psum"), sum(col("tf")).as("ptf"))
@@ -142,8 +154,9 @@ object TextStats {
       .orderBy(col("docID"))
   }
 
-  def langIdNbSql: String =
-    """WITH tok AS (
+  /** Shared CTE prefix of the NB model for the two SQL twins. */
+  val NbSqlCtes: String =
+    """tok AS (
       |  SELECT doc_id AS docID, t.term AS term
       |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
       |  WHERE t.term <> ''
@@ -166,25 +179,29 @@ object TextStats {
       |  SELECT lang, ln(1.0 / CAST(totals.total + vs.v AS DOUBLE)) AS lp0
       |  FROM totals CROSS JOIN vs
       |),
-      |doclen AS (SELECT docID, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
-      |present AS (
-      |  SELECT tf.docID, lp.lang, sum(tf.tf * lp.lp) AS psum,
-      |         CAST(sum(tf.tf) AS BIGINT) AS ptf
-      |  FROM tf JOIN lp USING (term) GROUP BY 1, 2
-      |),
-      |scores AS (
-      |  SELECT d.docID, l.lang,
-      |         round(coalesce(p.psum, 0.0)
-      |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0, 4) AS score
-      |  FROM doclen d CROSS JOIN lp0 l
-      |  LEFT JOIN present p ON p.docID = d.docID AND p.lang = l.lang
-      |)
-      |SELECT docID, lang AS pred_lang FROM (
-      |  SELECT docID, lang,
-      |         row_number() OVER (PARTITION BY docID
-      |                            ORDER BY score DESC, lang ASC) AS rn
-      |  FROM scores
-      |) WHERE rn = 1 ORDER BY docID""".stripMargin
+      |doclen AS (SELECT docID, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1)"""
+      .stripMargin
+
+  def langIdNbSql: String =
+    s"""WITH $NbSqlCtes,
+       |present AS (
+       |  SELECT tf.docID, lp.lang, sum(tf.tf * lp.lp) AS psum,
+       |         CAST(sum(tf.tf) AS BIGINT) AS ptf
+       |  FROM tf JOIN lp USING (term) GROUP BY 1, 2
+       |),
+       |scores AS (
+       |  SELECT d.docID, l.lang,
+       |         round(coalesce(p.psum, 0.0)
+       |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0, 4) AS score
+       |  FROM doclen d CROSS JOIN lp0 l
+       |  LEFT JOIN present p ON p.docID = d.docID AND p.lang = l.lang
+       |)
+       |SELECT docID, lang AS pred_lang FROM (
+       |  SELECT docID, lang,
+       |         row_number() OVER (PARTITION BY docID
+       |                            ORDER BY score DESC, lang ASC) AS rn
+       |  FROM scores
+       |) WHERE rn = 1 ORDER BY docID""".stripMargin
 
   // -------------------------------------------- deterministic sampling
 
@@ -301,22 +318,8 @@ object TextStats {
     * rows materialize); one extra join vs langIdNb because each doc is
     * scored against one lang only. Output (docID, lang, xent). */
   def docXent(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Corpus.docs(spark, sfDir)
-    val tf = Bm25.termFreq(docs)
-    val docLang = docs.select(col("docID"), col("lang"))
-    val langTf = tf.join(docLang, "docID")
-      .groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("c"))
-    val vocabSize = tf.select(col("term")).distinct().count()
-    val langTotals = langTf.groupBy(col("lang")).agg(sum(col("c")).as("total"))
-    val lp = langTf.join(langTotals, "lang")
-      .withColumn("lp", log((col("c") + 1).cast("double") /
-        (col("total") + lit(vocabSize)).cast("double")))
-      .select(col("term"), col("lang"), col("lp"))
-    val lp0 = langTotals
-      .withColumn("lp0", log(lit(1.0) /
-        (col("total") + lit(vocabSize)).cast("double")))
-      .select(col("lang"), col("lp0"))
-    val docLen = tf.groupBy(col("docID")).agg(sum(col("tf")).as("dlen"))
+    val m = nbModel(Corpus.docs(spark, sfDir))
+    import m._
     val present = tf.join(docLang, "docID")
       .join(lp, Seq("term", "lang")) // doc scored against its own lang only
       .groupBy(col("docID"))
@@ -332,46 +335,23 @@ object TextStats {
   }
 
   def docXentSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id AS docID, t.term AS term
-      |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
-      |  WHERE t.term <> ''
-      |), tf AS (
-      |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
-      |), dl AS (SELECT doc_id AS docID, lang FROM documents),
-      |langtf AS (
-      |  SELECT dl.lang, tf.term, CAST(sum(tf.tf) AS BIGINT) AS c
-      |  FROM tf JOIN dl USING (docID) GROUP BY 1, 2
-      |),
-      |vs AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
-      |totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM langtf GROUP BY 1),
-      |lp AS (
-      |  SELECT langtf.term, langtf.lang,
-      |         ln(CAST(langtf.c + 1 AS DOUBLE)
-      |            / CAST(totals.total + vs.v AS DOUBLE)) AS lp
-      |  FROM langtf JOIN totals USING (lang) CROSS JOIN vs
-      |),
-      |lp0 AS (
-      |  SELECT lang, ln(1.0 / CAST(totals.total + vs.v AS DOUBLE)) AS lp0
-      |  FROM totals CROSS JOIN vs
-      |),
-      |doclen AS (SELECT docID, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
-      |present AS (
-      |  SELECT tf.docID, sum(tf.tf * lp.lp) AS psum,
-      |         CAST(sum(tf.tf) AS BIGINT) AS ptf
-      |  FROM tf JOIN dl USING (docID)
-      |  JOIN lp ON lp.term = tf.term AND lp.lang = dl.lang
-      |  GROUP BY 1
-      |)
-      |SELECT d.docID, dl.lang,
-      |       round(-(coalesce(p.psum, 0.0)
-      |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0)
-      |             / CAST(d.dlen AS DOUBLE), 4) AS xent
-      |FROM doclen d
-      |JOIN dl USING (docID)
-      |JOIN lp0 l USING (lang)
-      |LEFT JOIN present p ON p.docID = d.docID
-      |ORDER BY docID""".stripMargin
+    s"""WITH $NbSqlCtes,
+       |present AS (
+       |  SELECT tf.docID, sum(tf.tf * lp.lp) AS psum,
+       |         CAST(sum(tf.tf) AS BIGINT) AS ptf
+       |  FROM tf JOIN dl USING (docID)
+       |  JOIN lp ON lp.term = tf.term AND lp.lang = dl.lang
+       |  GROUP BY 1
+       |)
+       |SELECT d.docID, dl.lang,
+       |       round(-(coalesce(p.psum, 0.0)
+       |               + CAST(d.dlen - coalesce(p.ptf, 0) AS DOUBLE) * l.lp0)
+       |             / CAST(d.dlen AS DOUBLE), 4) AS xent
+       |FROM doclen d
+       |JOIN dl USING (docID)
+       |JOIN lp0 l USING (lang)
+       |LEFT JOIN present p ON p.docID = d.docID
+       |ORDER BY docID""".stripMargin
 
   // -------------------------------------------------------- fingerprints
 

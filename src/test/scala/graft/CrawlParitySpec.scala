@@ -200,6 +200,47 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("wave")).distinct.length > 2)
   }
 
+  test("crawl oracle parity under STARVED waves (batch > frontier)") {
+    // batch larger than the seed count: wave 0 pops fewer than `take`,
+    // so the loop runs more waves than ceil(maxLinks/batch) — the SQL
+    // twin must track the actual visited budget, not assume full waves.
+    val spark = SparkFixture.spark
+    val maxLinks = 40
+    val batch = 30
+    val sparkRows = Crawl.crawlOrder(spark, SparkFixture.Sf0001,
+        maxLinks = maxLinks, batch = batch, dumpOracle = true).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getDouble(4)))
+    val wave0 = sparkRows.count(_._2 == 0)
+    assert(wave0 < batch && sparkRows.length == maxLinks,
+      s"fixture must starve wave 0 yet still spend the budget " +
+        s"(wave0=$wave0, total=${sparkRows.length}) — a fixed-LIMIT unroll " +
+        "would truncate later waves")
+    // run the DuckDB twin (reads only the dumped artifacts) via python
+    val sql = Crawl.crawlOrderSql(maxLinks, batch)
+    val script =
+      s"""import duckdb, json, sys
+         |sql = json.load(open(sys.argv[1]))["sql"]
+         |for row in duckdb.sql(sql).fetchall():
+         |    print("\\t".join(str(v) for v in row))
+         |""".stripMargin
+    val sqlFile = java.nio.file.Files.createTempFile("crawl_oracle", ".json")
+    val pyFile = java.nio.file.Files.createTempFile("crawl_oracle", ".py")
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t") + "\""
+    java.nio.file.Files.writeString(sqlFile, s"""{"sql": ${q(sql)}}""")
+    java.nio.file.Files.writeString(pyFile, script)
+    val out = scala.sys.process.Process(
+      Seq("python3", pyFile.toString, sqlFile.toString)).!!
+    val duckRows = out.trim.split("\n").filter(_.nonEmpty).map { l =>
+      val f = l.split("\t")
+      (f(0).toInt, f(1).toInt, f(2), f(3).toInt, f(4).toDouble)
+    }
+    assert(duckRows.length == sparkRows.length,
+      s"row counts differ: duck ${duckRows.length} vs spark ${sparkRows.length}")
+    assert(duckRows.toSeq == sparkRows.toSeq)
+  }
+
   test("crawl: budget respected, no duplicates, robots-disallowed excluded, deterministic") {
     val spark = SparkFixture.spark
     val out1 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()
