@@ -50,8 +50,27 @@ object Explain {
 
     show("indexed BM25 top-k (scan path, physical)",
       "Expect: no Exchange before the WAND mapPartitions; a single " +
-        "TakeOrderedAndProject on (score desc, docID asc).",
+        "TakeOrderedAndProject on (score desc, docID asc). " +
+        "(localWandUpTo=0 pins the distributed path for this dump.)",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topK("hash join"))
+
+    show("indexed BM25 top-k (driver-local fast path)",
+      "Expect: LocalTableScan ONLY — the WAND kernel already ran on the " +
+        "driver against cached segments + local norms; collect() " +
+        "launches no job (latency was scheduling-bound at ~180 ms/job).",
       new QueryEngine(spark, Seq(indexDir)).topK("hash join"))
+
+    show("pack_sequences sharded cumsum",
+      "Expect: document-row window partitioned by (lang, shard) — " +
+        "bounded per-task sort — plus a per-shard prefix window over " +
+        "one row per shard, broadcast-joined back; no window partitioned " +
+        "by lang alone anywhere.",
+      graft.operators.TextStats.packSequencesOf(
+        Corpus.docs(spark, sfDir).select(col("docID"), col("lang"),
+          size(graft.functions.Analyzer.tokensCol(col("content")))
+            .cast("long").as("n_tokens")),
+        graft.operators.TextStats.PackBudget, 64L, checkpoint = false))
 
     show("brute-force BM25 oracle",
       "Expect: broadcast of the 1-row stats; shuffle joins tf⋈df⋈len; " +

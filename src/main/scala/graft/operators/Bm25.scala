@@ -401,7 +401,7 @@ object Bm25 {
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
-      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
          |  FROM (
@@ -457,7 +457,7 @@ object Bm25 {
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
-      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
          |  FROM (
@@ -508,7 +508,7 @@ object Bm25 {
         s"coalesce(max(CASE WHEN term = '$t' THEN contrib END), 0.0) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
-      s"""(SELECT '$qid' AS query, rank, docID, score FROM (
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
          |  FROM (

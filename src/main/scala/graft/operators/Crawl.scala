@@ -104,23 +104,43 @@ object Crawl {
                  domainKeywords: Map[String, Seq[String]] = Map.empty,
                  ownWeight: Double = 3.0, crossWeight: Double = 1.5,
                  robotsTxt: String = RobotsTxt,
+                 robotsByDomain: Map[String, String] = Map.empty,
                  dumpOracle: Boolean = false): DataFrame = {
     import spark.implicits._
     val site = pages(spark, sfDir).cache()
-    val robots = UrlFunctions.parseRobots(robotsTxt)
+    // J3 robots lookup: the reference keeps a PER-DOMAIN robots cache
+    // (reference `inc/robots_parser.h:17-29`). `robotsByDomain` is that
+    // cache as data — each domain parsed once on the driver and
+    // broadcast; a domain absent from the map falls back to the global
+    // `robotsTxt` (the sim's stand-in for the live GET every domain
+    // would answer identically).
+    val globalRules = UrlFunctions.parseRobots(robotsTxt)
+    val perDomainRules: Map[String, Map[String, UrlFunctions.RobotsRules]] =
+      robotsByDomain.map { case (d, txt) => d -> UrlFunctions.parseRobots(txt) }
+    val rulesBc = spark.sparkContext.broadcast((globalRules, perDomainRules))
     // T1 per-domain politeness: a robots Crawl-delay throttles same-
-    // domain fetches — batch analogue: a delayed domain contributes at
+    // domain fetches — batch analogue: a DELAYED domain contributes at
     // most ONE url per dispatch wave (the reference paces same-domain
-    // fetches crawl_delay seconds apart within a dispatch round)
-    val crawlDelay = robots.get("*").map(_.crawlDelay).getOrElse(0)
-    val robotsBc = spark.sparkContext.broadcast(robots)
+    // fetches crawl_delay seconds apart within a dispatch round); other
+    // domains dispatch freely under THEIR OWN robots rules.
+    val globalDelay = globalRules.get("*").map(_.crawlDelay).getOrElse(0)
+    def delayOf(domain: String): Int =
+      perDomainRules.get(domain)
+        .map(_.get("*").map(_.crawlDelay).getOrElse(0))
+        .getOrElse(globalDelay)
+    val anyDelay = globalDelay > 0 ||
+      perDomainRules.valuesIterator.exists(_.get("*").exists(_.crawlDelay > 0))
     val seedDomains = Corpus.docs(spark, sfDir).select(col("repo")).distinct()
       .collect().map(r => r.getString(0) + ".example.com").toSeq
     val seedDomainsBc = spark.sparkContext.broadcast(seedDomains)
 
     val extractUdf = udf((html: String, base: String) => Html.extractLinks(html, base))
-    val allowedUdf = udf((url: String) =>
-      UrlFunctions.isAllowed(robotsBc.value, "*", url))
+    val allowedUdf = udf { (url: String) =>
+      val (global, perDom) = rulesBc.value
+      val rules = perDom.getOrElse(UrlFunctions.extractDomain(url), global)
+      UrlFunctions.isAllowed(rules, "*", url)
+    }
+    val delayedUdf = udf((domain: String) => delayOf(domain) > 0)
     val sameDomainUdf = udf((url: String) =>
       seedDomainsBc.value.exists(d => UrlFunctions.isSameDomain(url, d)))
     val dk = domainKeywords
@@ -136,7 +156,7 @@ object Crawl {
     if (dumpOracle) {
       require(domainKeywords.isEmpty,
         "crawl oracle SQL models the default (empty) domain-keyword config")
-      require(robotsTxt == RobotsTxt,
+      require(robotsTxt == RobotsTxt && robotsByDomain.isEmpty,
         "crawl oracle SQL models the default robots (no politeness gate); " +
           "pair non-default budget/batch with crawlOrderSql(maxLinks, batch)")
       graft.OracleSide.dump("crawl_seeds", seeds.select(col("url")))
@@ -159,13 +179,16 @@ object Crawl {
     while (visitedCount < maxLinks && !frontier.isEmpty) {
       val take = math.min(batch.toLong, maxLinks - visitedCount).toInt
       val eligible =
-        if (crawlDelay > 0) {
+        if (anyDelay) {
           val domUdf = udf(UrlFunctions.extractDomain _)
           val wD = Window.partitionBy(col("domain"))
             .orderBy(col("priority").desc, col("url").asc)
           frontier.withColumn("domain", domUdf(col("url")))
             .withColumn("rkd", row_number().over(wD))
-            .filter(col("rkd") === 1).drop("domain", "rkd")
+            // only domains whose OWN robots carry a Crawl-delay are
+            // capped to one url per wave; the rest dispatch freely
+            .filter(col("rkd") === 1 || !delayedUdf(col("domain")))
+            .drop("domain", "rkd")
         } else frontier
       // localCheckpoint truncates the logical plan each wave — iterative
       // unions/joins otherwise grow the plan exponentially
@@ -256,8 +279,8 @@ object Crawl {
     }
     sb.append(
       s"""fin AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY wave, round(priority, 4) DESC, url)
-         |           AS "order",
+         |  SELECT CAST(row_number() OVER (ORDER BY wave, round(priority, 4) DESC, url)
+         |              AS INTEGER) AS "order",
          |         wave, url, depth, round(priority, 4) AS priority
          |  FROM vis$waves
          |)

@@ -84,7 +84,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.docID") < col("b.docID"))
       .groupBy(col("a.docID").as("docA"), col("b.docID").as("docB"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("docID", "docA").withColumnRenamed("sz", "szA"), "docA")
       .join(sizes.withColumnRenamed("docID", "docB").withColumnRenamed("sz", "szB"), "docB")
       .withColumn("jaccard",
@@ -92,6 +92,11 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("docA"), col("docB"), col("jaccard"))
       .orderBy(col("docA"), col("docB"))
+      // eager pair-frame materialization so the shingle cache is released
+      // before the frame is handed to the caller (ADVICE r2)
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   def jaccardSql(tau: Double = JaccardTau): String =
@@ -163,7 +168,7 @@ object Dedup {
       .join(sh.select(col("docID").as("docB"), col("shingle")), Seq("docB", "shingle"))
       .groupBy(col("docA"), col("docB"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col("docID").as("docA"), col("sz").as("szA")), "docA")
       .join(sizes.select(col("docID").as("docB"), col("sz").as("szB")), "docB")
       .withColumn("jaccard",
@@ -172,6 +177,9 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("docA"), col("docB"), col("jaccard"))
       .orderBy(col("docA"), col("docB"))
+      .localCheckpoint() // release the shingle cache below (ADVICE r2)
+    sh.unpersist()
+    out
   }
 
   // ------------------------------------------- near-dup group canonicals
@@ -181,40 +189,74 @@ object Dedup {
     * (minimum docID reachable through near-dup edges) — the step that
     * turns pairwise dedup into "keep one canonical doc per group".
     *
-    * Iterative min-label propagation to fixpoint; rounds ≤ component
-    * diameter, and near-dup components are shallow (dup clusters are
-    * near-cliques). At 10^12-doc scale the same loop runs with
-    * large-star/small-star alternation to bound rounds at O(log n);
-    * the propagation step itself is the identical join+min shape.
-    * Deterministic: min-label is order-independent. */
+    * Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — public algorithm; VERDICT r2
+    * #7 replacing plain min-label propagation): each round is two
+    * groupBy-min + join passes over the edge list, and the edge graph
+    * contracts to per-component stars in O(log n) rounds even on
+    * adversarial chains (plain propagation needed diameter rounds).
+    * Deterministic: min is order-independent. */
   def dedupGroups(spark: SparkSession, sfDir: String,
                   tau: Double = JaccardTau): DataFrame = {
     val pairs = minhashLshDedup(spark, sfDir, tau).select(col("docA"), col("docB"))
-    val edges = pairs
-      .unionAll(pairs.select(col("docB").as("docA"), col("docA").as("docB")))
-      .localCheckpoint() // also truncates the LSH lineage for the loop
-    var labels = edges.select(col("docA").as("docID")).distinct()
-      .withColumn("label", col("docID"))
-      .localCheckpoint()
+    connectedComponents(pairs)._1
+  }
+
+  /** Star-contraction core of [[dedupGroups]], exposed with its round
+    * count for the O(log n) convergence spec. Input: undirected pair
+    * list (docA, docB), docA ≠ docB. Output rows
+    * (docID, rep_docID) for every node of the pair graph, docID-ordered.
+    *
+    * large-star: every node's strictly-larger neighbors re-attach to
+    * min(Γ(u) ∪ {u}); small-star: with edges oriented (larger → smaller),
+    * every group's members re-attach to the group min. Fixpoint = union
+    * of stars centered at component minima (both passes map a star to
+    * itself); each round runs as two shuffle-bounded groupBy+join passes,
+    * driver-paced only for the convergence probe. */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a"), col("b"))
+        .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy(col("a")).agg(min(col("b")).as("nm"))
+        .select(col("a"), least(col("nm"), col("a")).as("m"))
+      und.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val orient = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = orient.groupBy(col("a")).agg(min(col("b")).as("m"))
+      orient.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    var cur = pairs
+      .select(greatest(col("docA"), col("docB")).as("a"),
+        least(col("docA"), col("docB")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // truncates the upstream (LSH) lineage too
+    var rounds = 0
     var changed = true
     while (changed) {
-      val neighborMin = edges
-        .join(labels.select(col("docID").as("docB"), col("label").as("nl")), "docB")
-        .groupBy(col("docA").as("docID"))
-        .agg(min(col("nl")).as("nmin"))
-      val next = labels
-        .join(neighborMin, Seq("docID"), "left")
-        .select(col("docID"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("docID"), col("label").as("old")), "docID")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count() > 0
-      labels = next
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      changed = next.except(cur).limit(1).count() > 0 ||
+        cur.except(next).limit(1).count() > 0
+      cur = next
+      rounds += 1
     }
-    labels.select(col("docID"), col("label").as("rep_docID"))
+    val nodes = pairs.select(col("docA").as("docID"))
+      .unionAll(pairs.select(col("docB").as("docID")))
+      .distinct()
+    val labels = nodes
+      .join(cur.select(col("a").as("docID"), col("b").as("rep")), Seq("docID"), "left")
+      .select(col("docID"), coalesce(col("rep"), col("docID")).as("rep_docID"))
       .orderBy(col("docID"))
+    (labels, rounds)
   }
 
   /** DuckDB twin: the same pair set re-derived from scratch (the
@@ -270,7 +312,7 @@ object Dedup {
           shiftright(col("sig"), b * width)
             .bitwiseAND((1L << width) - 1).as("bh"))): _*)).as("bb"))
       .select(col("docID"), col("sig"), col("bb.band"), col("bb.bh"))
-    banded.as("a").join(banded.as("b"),
+    val out = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.docID") < col("b.docID"))
       .select(col("a.docID").as("docA"), col("b.docID").as("docB"),
@@ -278,6 +320,9 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("docA"), col("docB"))
+      .localCheckpoint() // release the signature cache below (ADVICE r2)
+    sigs.unpersist()
+    out
   }
 
   /** DuckDB twin over the materialized signature table: the banded

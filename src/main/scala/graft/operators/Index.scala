@@ -303,35 +303,74 @@ object Index {
     if (!done(indexDir, "postings")) timed("postings") {
       val dict0 = spark.read.parquet(s"$indexDir/dictionary")
       val doclen0 = spark.read.parquet(s"$indexDir/docstats")
-      // metadata-only counts decide the join strategies; below the caps
-      // both sides broadcast and tf flows shuffle-free into the single
-      // (bucket, term, salt) exchange
-      val doclen = if (doclen0.count() <= p.broadcastDocStatsUpTo)
-        broadcast(doclen0) else doclen0
-      val dict = if (dict0.count() <= 1_000_000L) broadcast(dict0) else dict0
+      // metadata-only counts decide the join strategies
+      val doclenSmall = doclen0.count() <= p.broadcastDocStatsUpTo
+      val dictSmall = dict0.count() <= 1_000_000L
 
       // Salting (north rule): terms with df > saltThreshold are split on
       // fixed docID-chunk boundaries so no single partition owns a whole
       // stop-word posting list; chunks are contiguous docID ranges, so
       // per-term segment ranges stay disjoint across partitions.
-      val salted = tf
-        .join(doclen, "docID")
-        .join(dict, "term")
-        .withColumn("salt",
-          when(col("df") > p.saltThreshold,
-            floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
-        .withColumn("positions",
-          if (p.storePositions) col("positions")
-          else array().cast("array<bigint>"))
-        .select(col("term"), col("docID"), col("tf"), col("len"),
-          col("df"), col("bucket"), col("salt"), col("positions"))
-
-      val segs = salted
-        .repartition(p.partitions, col("bucket"), col("term"), col("salt"))
-        .sortWithinPartitions(col("term"), col("docID"))
-        .drop("salt")
-        .as[TermPosting]
-        .mapPartitions(it => encodePartition(it, p, m))
+      //
+      // Shuffle-payload discipline (VERDICT r2 #2): the (term, salt)
+      // exchange is the build's dominant byte mover — r2 shipped
+      // (term, docID, tf, len, df, bucket, salt, positions[]) per posting,
+      // 4.98 GB shuffled for 189 MB of encoded output. len/df/bucket are
+      // all re-derivable AFTER the exchange from broadcast side tables
+      // (docstats resp. dictionary), so when those fit the broadcast caps
+      // the shuffled row carries only (term, docID, tf, salt) — salt must
+      // ride along because the exchange hashes on it, but it is 0 for
+      // unsalted terms and lz4 flattens it. The empty positions array of
+      // non-positional builds is likewise materialized only post-shuffle.
+      // bucket also leaves the PARTITIONING key: it is a function of term
+      // (via df), so hashing (term, salt) co-locates identically.
+      val segs = if (dictSmall && doclenSmall) {
+        // salt needs df, but only for the few heavy (stop-word-like)
+        // terms — left-join just that sliver of the dictionary.
+        val saltedTerms = dict0.filter(col("df") > p.saltThreshold)
+          .select(col("term"), lit(true).as("is_salted"))
+        val lean = tf
+          .join(broadcast(saltedTerms), Seq("term"), "left")
+          .withColumn("salt",
+            when(col("is_salted"),
+              floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
+          .select(col("term") +: col("docID") +: col("tf") +: col("salt") +:
+            (if (p.storePositions) Seq(col("positions")) else Nil): _*)
+        lean
+          .repartition(p.partitions, col("term"), col("salt"))
+          .drop("salt")
+          .join(broadcast(doclen0), "docID") // narrow: no new exchange
+          .join(broadcast(dict0), "term")
+          .withColumn("positions",
+            if (p.storePositions) col("positions")
+            else array().cast("array<bigint>"))
+          .select(col("term"), col("docID"), col("tf"), col("len"),
+            col("df"), col("bucket"), col("positions"))
+          .sortWithinPartitions(col("term"), col("docID"))
+          .as[TermPosting]
+          .mapPartitions(it => encodePartition(it, p, m))
+      } else {
+        // 10^12-file fallback: dictionary/docstats outgrow executor
+        // memory, so the stats must be attached by shuffle joins before
+        // the exchange — the wide row is the price of not broadcasting.
+        val salted = tf
+          .join(doclen0, "docID")
+          .join(dict0, "term")
+          .withColumn("salt",
+            when(col("df") > p.saltThreshold,
+              floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
+          .withColumn("positions",
+            if (p.storePositions) col("positions")
+            else array().cast("array<bigint>"))
+          .select(col("term"), col("docID"), col("tf"), col("len"),
+            col("df"), col("bucket"), col("salt"), col("positions"))
+        salted
+          .repartition(p.partitions, col("term"), col("salt"))
+          .sortWithinPartitions(col("term"), col("docID"))
+          .drop("salt")
+          .as[TermPosting]
+          .mapPartitions(it => encodePartition(it, p, m))
+      }
 
       segs.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(s"$indexDir/postings")

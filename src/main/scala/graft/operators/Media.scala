@@ -201,11 +201,17 @@ object Media {
     val table =
       if (dumpOracle) mediaTable(spark, sfDir).cache() else mediaTable(spark, sfDir)
     if (dumpOracle) OracleSide.dump("media_payloads", table)
-    mediaFeaturesFrom(spark, table)
+    val out = mediaFeaturesFrom(spark, table)
       .toDF()
       .select(col("docID"), col("format"), col("n_bytes"),
         col("width"), col("height"))
       .orderBy(col("docID"))
+    if (!dumpOracle) out
+    else { // release the payload cache once the features frame is real
+      val o = out.localCheckpoint()
+      table.unpersist()
+      o
+    }
   }
 
   def mediaFeaturesSql: String =

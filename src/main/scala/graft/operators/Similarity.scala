@@ -131,7 +131,7 @@ object Similarity {
        |               CAST(e.embedding AS DOUBLE[])), 4) AS cos
        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
        |)
-       |SELECT query_id, rank, vec_id, cos FROM (
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, vec_id ASC) AS rank
@@ -155,7 +155,12 @@ object Similarity {
     // filter AND the bucket join — without it each recomputes the planes
     val sigs = lshSignatures(e, dim, planes, tables).cache()
     if (dumpOracle) OracleSide.dump("lsh_sigs", sigs)
-    rankContract(lshRerank(e, sigs, queryIds), k)
+    // eager top-k materialization (tiny frame) so the signature cache can
+    // be dropped before returning — repeated driver-entry invocations in
+    // one session no longer accumulate storage blocks (ADVICE r2)
+    val out = rankContract(lshRerank(e, sigs, queryIds), k).localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Bucket-join candidates (distinct) → exact cosine. Exposed for the
@@ -201,7 +206,7 @@ object Similarity {
        |  JOIN embeddings e ON e.vec_id = c.vec_id
        |  JOIN embeddings qe ON qe.vec_id = c.query_id
        |)
-       |SELECT query_id, rank, vec_id, cos FROM (
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, vec_id ASC) AS rank
@@ -402,7 +407,7 @@ object Similarity {
        |  JOIN embeddings e ON e.vec_id = cand.vec_id
        |  JOIN q ON q.query_id = cand.query_id
        |)
-       |SELECT query_id, rank, vec_id, cos FROM (
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, vec_id ASC) AS rank

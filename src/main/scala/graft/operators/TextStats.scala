@@ -250,7 +250,7 @@ object TextStats {
   }
 
   def sampleStratifiedSql(quota: Int = SampleQuota): String =
-    s"""SELECT docID, lang, rk FROM (
+    s"""SELECT docID, lang, CAST(rk AS INTEGER) AS rk FROM (
        |  SELECT doc_id AS docID, lang,
        |         row_number() OVER (PARTITION BY lang
        |                            ORDER BY sha256(text), doc_id) AS rk
@@ -262,31 +262,83 @@ object TextStats {
   /** Token budget of one packed training sequence. */
   val PackBudget = 512
 
+  /** docID-range width of one cumsum shard: each window task sorts at
+    * most this many rows per (lang, shard), regardless of stratum size. */
+  val PackShardWidth = 1L << 16
+
   /** Contiguous sequence packing: within each language, in docID order,
     * assign each doc to the training sequence its STARTING token offset
     * falls into (seq_id = floor(cumulative_tokens_before / budget)) —
     * the deterministic, windowed formulation of greedy sequence packing
     * for pretraining batches (docs longer than the budget straddle, as
     * in real packers that then split on the boundary).
-    * Scale: cumsum window per language stratum; at 100 TB you'd add a
-    * shard key to the partition to bound per-stratum sort size.
+    *
+    * Scale (two-phase sharded cumsum): a single
+    * `Window.partitionBy(lang)` would sort a whole language stratum in
+    * one task — multi-TB at 10^12 docs. Instead the cumsum is computed
+    * per (lang, shard) where `shard = floor(docID / shardWidth)` — floor
+    * is monotone, so (lang, shard, docID) order ≡ (lang, docID) order and
+    * each shard is a contiguous docID range of ≤ shardWidth rows. Phase 1
+    * windows within a shard (bounded per-task sort); phase 2 prefix-sums
+    * the per-shard totals (one tiny row per shard) and broadcast-joins
+    * the offsets back: cum_before = shard_prefix + within-shard cumsum.
+    * Provably identical to the one-window formulation (the oracle SQL
+    * below stays unsharded). The narrow (docID, lang, n_tokens)
+    * projection is persisted so tokenization runs once across the two
+    * phases, and unpersisted after the result is materialized.
     * Output (docID, lang, n_tokens, seq_id, seq_offset). */
   def packSequences(spark: SparkSession, sfDir: String,
-                    budget: Int = PackBudget): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
+                    budget: Int = PackBudget,
+                    shardWidth: Long = PackShardWidth): DataFrame =
+    packSequencesOf(
+      Corpus.docs(spark, sfDir).select(col("docID"), col("lang"),
+        size(graft.functions.Analyzer.tokensCol(col("content")))
+          .cast("long").as("n_tokens")),
+      budget, shardWidth)
+
+  /** Sharded-cumsum core over a pre-tokenized (docID, lang, n_tokens)
+    * frame; see [[packSequences]]. Exposed for the shard-equivalence
+    * spec (small shardWidth forces >1 shard on the fixture).
+    * `checkpoint=false` skips the eager materialization so the PLAN
+    * stays inspectable (graft.Explain). */
+  def packSequencesOf(stats0: DataFrame, budget: Int,
+                      shardWidth: Long,
+                      checkpoint: Boolean = true): DataFrame = {
+    // Integer `div` (not floor of a double quotient) keeps the shard exact
+    // for 64-bit docIDs; docIDs are non-negative (Corpus surrogate key).
+    val stats = stats0
+      .withColumn("shard", expr(s"docID div ${shardWidth}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
       .orderBy(col("docID"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Corpus.docs(spark, sfDir)
-      .select(col("docID"), col("lang"),
-        size(graft.functions.Analyzer.tokensCol(col("content")))
-          .cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val within = stats
+      .withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // Phase 2: one row per (lang, shard) — the prefix window sorts only
+    // #shards rows per lang, never document rows.
+    val wSh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = stats
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .withColumn("shard_prefix", coalesce(sum(col("shard_total")).over(wSh), lit(0L)))
+      .select(col("lang"), col("shard"), col("shard_prefix"))
+    val joined = within.join(broadcast(prefix), Seq("lang", "shard"))
+      .withColumn("cum_before", col("shard_prefix") + col("cum_in"))
       .withColumn("seq_id", floor(col("cum_before") / budget))
       .withColumn("seq_offset", col("cum_before") % budget)
       .select(col("docID"), col("lang"), col("n_tokens"),
         col("seq_id"), col("seq_offset"))
       .orderBy(col("docID"))
+    if (!checkpoint) joined
+    else {
+      val out = joined.localCheckpoint()
+      stats.unpersist()
+      out
+    }
   }
 
   def packSequencesSql(budget: Int = PackBudget): String =
@@ -297,14 +349,17 @@ object TextStats {
        |  FROM documents
        |), c AS (
        |  SELECT docID, lang, n_tokens,
-       |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY docID
-       |                                      ROWS BETWEEN UNBOUNDED PRECEDING
-       |                                      AND 1 PRECEDING), 0) AS cum_before
+       |         -- DuckDB windowed sum(BIGINT) returns HUGEINT; without the
+       |         -- cast seq_offset surfaces as decimal128 vs Spark's int64.
+       |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY docID
+       |                                           ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                           AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
        |  FROM t
        |)
        |SELECT docID, lang, n_tokens,
        |       CAST(floor(cum_before / $budget) AS BIGINT) AS seq_id,
-       |       cum_before % $budget AS seq_offset
+       |       CAST(cum_before % $budget AS BIGINT) AS seq_offset
        |FROM c ORDER BY docID""".stripMargin
 
   // ------------------------------------------------- model-based quality

@@ -51,18 +51,24 @@ object CrawlerConfig {
       }
       // domain_keywords: {"domain": ["kw", ...], ...} — spark.read.json
       // infers a struct of string-arrays; non-array / non-string values
-      // are skipped like the reference's is_array()/is_string() guards
-      val dk: Map[String, Seq[String]] = idx("domain_keywords").map { i =>
-        val sub = row.getStruct(i)
-        sub.schema.fields.zipWithIndex.flatMap { case (f, j) =>
-          if (sub.isNullAt(j)) None
-          else sub.get(j) match {
-            case xs: scala.collection.Seq[_] =>
-              Some(f.name -> xs.collect { case s: String => s }.toSeq)
-            case _ => None
-          }
-        }.toMap
-      }.getOrElse(Map.empty)
+      // are skipped like the reference's is_array()/is_string() guards.
+      // Its OWN try: a non-object value makes getStruct throw, and that
+      // must cost only this field's default, not every other validly
+      // parsed field's (ADVICE r2 — the reference skips just the bad
+      // field; the outer catch is for unreadable/invalid files only).
+      val dk: Map[String, Seq[String]] =
+        try idx("domain_keywords").map { i =>
+          val sub = row.getStruct(i)
+          sub.schema.fields.zipWithIndex.flatMap { case (f, j) =>
+            if (sub.isNullAt(j)) None
+            else sub.get(j) match {
+              case xs: scala.collection.Seq[_] =>
+                Some(f.name -> xs.collect { case s: String => s }.toSeq)
+              case _ => None
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+        catch { case _: Exception => Map.empty }
       val d = CrawlerConfig()
       CrawlerConfig(
         threadCount = num("thread_count").map(_.toInt).getOrElse(d.threadCount),

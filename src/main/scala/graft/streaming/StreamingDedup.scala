@@ -32,9 +32,18 @@ object StreamingDedup {
     import spark.implicits._
     val src = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // Directory-style corpus (documents.parquet/part-*.parquet, as the
+    // bench writes): stream from the table path itself — pathGlobFilter
+    // on the parent matched LEAF filenames only, streaming ZERO rows
+    // (ADVICE r2). Single-file corpus (as the testdata ships): the file
+    // source requires a directory basePath, so keep the parent+glob form.
+    val stream =
+      if (new java.io.File(src).isDirectory)
+        spark.readStream.schema(schema).parquet(src)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
     val hashed = stream
       .select(col("doc_id").as("docID"), sha2(col("text"), 256).as("sha"))
       .as[(Long, String)]

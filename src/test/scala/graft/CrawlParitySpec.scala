@@ -152,6 +152,20 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(c.domainKeywordWeight == 2.5 && c.crossDomainKeywordWeight == 1.5)
     // unreadable file → all-default config, like the reference
     assert(CrawlerConfig.load(spark, "/nonexistent/cfg.json") == CrawlerConfig())
+    // ONE malformed field costs only that field's default — every other
+    // validly-parsed field must survive (reference is_array()/is_string()
+    // guards skip just the bad field; ADVICE r2)
+    val bad = java.nio.file.Files.createTempFile("graft_cfg_bad", ".json")
+    java.nio.file.Files.writeString(bad,
+      """{
+        |  "thread_count": 7,
+        |  "max_links": 99,
+        |  "domain_keywords": "not-an-object"
+        |}""".stripMargin)
+    val cb = CrawlerConfig.load(spark, bad.toString)
+    assert(cb.threadCount == 7 && cb.maxLinks == 99,
+      "valid fields must survive a malformed sibling field")
+    assert(cb.domainKeywords.isEmpty, "the malformed field falls back alone")
   }
 
   test("config-driven crawl: non-default budget/batch change the wave structure") {
@@ -198,6 +212,38 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(!out.map(_.getAs[String]("url")).exists(_.contains("/private/")))
     // the gate defers, not drops: later waves still progress the crawl
     assert(out.map(_.getAs[Int]("wave")).distinct.length > 2)
+  }
+
+  test("per-domain robots: each domain crawls under ITS OWN delay/disallow rules") {
+    val spark = SparkFixture.spark
+    // src0: crawl-delay only (no disallow → even /private/ is allowed
+    // there, proving per-domain rules OVERRIDE the global fallback);
+    // src1: /doc* disallowed (only its root page may be crawled);
+    // every other domain: global default robots (no delay, /private/ out)
+    val out = Crawl.crawlOrder(spark, SparkFixture.Sf0001,
+      maxLinks = 60, batch = 12,
+      robotsByDomain = Map(
+        "src0.example.com" -> "User-agent: *\nCrawl-delay: 5\n",
+        "src1.example.com" -> "User-agent: *\nDisallow: /doc\n")).collect()
+    assert(out.nonEmpty && out.length <= 60)
+    val byUrl = out.map(_.getAs[String]("url"))
+    def domainOf(u: String) = U.extractDomain(u)
+    // T1: only the delayed domain is capped to one url per wave
+    val perWave = out.groupBy(_.getAs[Int]("wave"))
+    for ((w, rows) <- perWave) {
+      val src0 = rows.count(r => domainOf(r.getAs[String]("url")) == "src0.example.com")
+      assert(src0 <= 1, s"wave $w dispatched $src0 src0 urls (delay must gate)")
+    }
+    assert(perWave.values.exists(rows =>
+      rows.map(r => domainOf(r.getAs[String]("url")))
+        .groupBy(identity).values.exists(_.length > 1)),
+      "an UNdelayed domain must be free to dispatch >1 url in one wave")
+    // P4 per-domain: src1 doc pages are disallowed, its root is not
+    val src1 = byUrl.filter(domainOf(_) == "src1.example.com")
+    assert(src1.forall(!_.contains("/doc")), s"src1 doc pages must be blocked: ${src1.toSeq}")
+    // global fallback still applies to unlisted domains
+    assert(byUrl.filter(u => domainOf(u) != "src0.example.com")
+      .forall(!_.contains("/private/")))
   }
 
   test("crawl oracle parity under STARVED waves (batch > frontier)") {

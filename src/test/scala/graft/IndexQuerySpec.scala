@@ -62,14 +62,38 @@ class IndexQuerySpec extends AnyFunSuite {
   test("range-shuffle path identical to the default scan path (AND + OR)") {
     built
     // broadcastPostingsUpTo = -1 forces the range path even for
-    // single-term queries (sideDfSum = 0)
-    val rangePath = new QueryEngine(spark, Seq(indexDir), broadcastPostingsUpTo = -1L)
+    // single-term queries (sideDfSum = 0); localWandUpTo = 0 keeps the
+    // driver-local fast path from short-circuiting it
+    val rangePath = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
     for ((_, qtext) <- Bm25.QuerySet) {
       assert(collectTopK(rangePath.topK(qtext)) == collectTopK(engine.topK(qtext)),
         s"AND '$qtext'")
       assert(collectTopK(rangePath.topKOr(qtext)) == collectTopK(engine.topKOr(qtext)),
         s"OR '$qtext'")
     }
+  }
+
+  test("driver-local fast path: identical to scan and range paths; no job launched") {
+    built
+    // default engine at this scale IS the fast path (tiny dfs); compare
+    // against an engine with it disabled (distributed scan path)
+    val dist = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    for ((_, qtext) <- Bm25.QuerySet) {
+      assert(collectTopK(engine.topK(qtext)) == collectTopK(dist.topK(qtext)),
+        s"AND '$qtext'")
+      assert(collectTopK(engine.topKOr(qtext)) == collectTopK(dist.topKOr(qtext)),
+        s"OR '$qtext'")
+    }
+    // the fast path must not launch a job once its term cache is warm:
+    // collect() on the returned LocalRelation stays driver-side
+    engine.topK("hash join", rounded = true).collect() // warm the cache
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val out = engine.topK("hash join", rounded = true).collect()
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(out.nonEmpty)
+    assert(after == before, s"fast path launched ${after - before} job(s)")
   }
 
   test("OR mode: rank-identity vs exact disjunctive oracle (every query)") {

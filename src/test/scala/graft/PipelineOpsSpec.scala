@@ -1,5 +1,6 @@
 package graft
 
+import graft.Corpus
 import graft.operators.{Dedup, Media, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -300,6 +301,38 @@ class PipelineOpsSpec extends AnyFunSuite {
         cum += n
       }
     }
+  }
+
+  test("sequence packing: sharded cumsum == single-shard, with >1 shard in play") {
+    // tiny shard width forces many shards on the fixture (docIDs 0..499
+    // → 500/64 ≈ 8 shards); output must be identical to the effectively
+    // unsharded run (one giant shard)
+    val sharded = TextStats.packSequences(spark, dir, shardWidth = 64L)
+      .collect().map(_.toSeq).toSeq
+    val single = TextStats.packSequences(spark, dir, shardWidth = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(sharded == single)
+    val nShards = Corpus.docs(spark, dir)
+      .select((col("docID") / 64).cast("long")).distinct().count()
+    assert(nShards > 1, "fixture must actually exercise multiple shards")
+  }
+
+  test("connected components: O(log n) star-contraction rounds on an adversarial chain") {
+    import spark.implicits._
+    // a 256-node path graph: plain min-label propagation needs ~256
+    // rounds; large-star/small-star must converge in O(log n)
+    val n = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("docA", "docB")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "every chain node must label to the component min")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a $n-chain (O(log n) expected)")
+    // two disjoint components keep distinct minima
+    val two = Seq((10L, 11L), (11L, 12L), (50L, 51L)).toDF("docA", "docB")
+    val (l2, _) = Dedup.connectedComponents(two)
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
   }
 
   test("winnowing: local edits far from a region keep shared fingerprints") {
