@@ -49,6 +49,7 @@ object Bench {
       // memory pressure (and spill behavior) between the levels compared
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // the corpus is compact compressed parquet but tokenization is
       // CPU-bound: byte-based splitting at the default 128m would feed

@@ -103,6 +103,7 @@ object SparkEntry {
     "doc_xent" -> ((s, dir) => TextStats.docXent(s, dir)),
     "sample_stratified" -> ((s, dir) => TextStats.sampleStratified(s, dir)),
     "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
+    "training_set" -> ((s, dir) => TextStats.trainingSet(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
 
@@ -200,6 +201,7 @@ object SparkEntry {
     "doc_xent" -> TextStats.docXentSql,
     "sample_stratified" -> TextStats.sampleStratifiedSql(),
     "pack_sequences" -> TextStats.packSequencesSql(),
+    "training_set" -> TextStats.trainingSetSql(),
     "media_features" -> Media.mediaFeaturesSql,
     "events_windowed" -> Events.windowedSql,
     "events_sessions" -> Events.sessionsSql,

@@ -51,25 +51,32 @@ object TextStats {
     * IEEE double in every engine (any decimal rounding of a float
     * combination can land on a half-way grid point where engines
     * disagree by 1 ulp; integer math cannot). */
+  /** The three 4-decimal quality ratios over (content, toks) columns —
+    * shared by [[qualityScore]] and [[trainingSet]] so the formula
+    * cannot drift between the standalone entry and the composed one. */
+  private def ratioCols: Seq[org.apache.spark.sql.Column] = Seq(
+    round(size(filter(col("toks"), t => t.isin(Stopwords: _*)))
+      .cast("double") / size(col("toks")), 4).as("stop_ratio"),
+    round(length(regexp_replace(col("content"), "[^a-zA-Z0-9]", ""))
+      .cast("double") / length(col("content")), 4).as("alnum_ratio"),
+    round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(col("toks")), 4).as("mean_tok_len"))
+
+  /** The exact-integer quality combination over the three ratio columns
+    * (see the rounding rationale in [[qualityScore]]'s doc). */
+  private def qualityCol: org.apache.spark.sql.Column =
+    (lit(4L) * (lit(100000L) - round(col("stop_ratio") * 10000).cast("long") * 10)
+      + lit(3L) * round(col("alnum_ratio") * 10000).cast("long") * 10
+      + lit(3L) * least(lit(100000L), round(col("mean_tok_len") * 10000).cast("long"))
+    ).cast("double") / 1000000.0
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Analyzer.tokensCol(col("content"))
     Corpus.docs(spark, sfDir)
       .select(col("docID"), col("content"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("stop_ratio",
-        round(size(filter(col("toks"), t => t.isin(Stopwords: _*)))
-          .cast("double") / size(col("toks")), 4))
-      .withColumn("alnum_ratio",
-        round(length(regexp_replace(col("content"), "[^a-zA-Z0-9]", ""))
-          .cast("double") / length(col("content")), 4))
-      .withColumn("mean_tok_len",
-        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / size(col("toks")), 4))
-      .withColumn("quality",
-        (lit(4L) * (lit(100000L) - round(col("stop_ratio") * 10000).cast("long") * 10)
-          + lit(3L) * round(col("alnum_ratio") * 10000).cast("long") * 10
-          + lit(3L) * least(lit(100000L), round(col("mean_tok_len") * 10000).cast("long"))
-        ).cast("double") / 1000000.0)
+      .select(col("docID") +: ratioCols: _*)
+      .withColumn("quality", qualityCol)
       .select(col("docID"), col("stop_ratio"), col("alnum_ratio"),
         col("mean_tok_len"), col("quality"))
       .orderBy(col("docID"))
@@ -94,6 +101,84 @@ object TextStats {
        |     + 3 * least(100000, CAST(round(mean_tok_len * 10000) AS BIGINT))
        |     AS DOUBLE) / 1000000.0 AS quality
        |FROM f ORDER BY docID""".stripMargin
+  }
+
+  // ----------------------------------------------- training-set selection
+
+  /** Default gates for [[trainingSet]], tuned so the sf corpora keep a
+    * non-trivial strict subset (quality spread there is ≈0.72–0.79). */
+  val TrainMinQuality = 0.75
+  val TrainMinTokens = 20L
+  val TrainMaxTokens = 90L
+
+  /** ONE-PASS training-set selection — the composed "data curation"
+    * step every pretraining pipeline ends with: keep a doc iff it is
+    * (a) its exact-dup group's representative (min docID per content
+    * sha256), (b) quality ≥ minQuality, and (c) its token count lies in
+    * [minTokens, maxTokens]. Output (docID, lang, n_tokens, quality),
+    * docID-ordered.
+    *
+    * Scale shape: where chaining the standalone entries would scan and
+    * tokenize the corpus three times and self-join, this computes every
+    * feature in a single projection over ONE corpus scan and resolves
+    * the dup representative with a window `min(docID) over
+    * (partition by sha)` — one shuffle total, partitions bounded by
+    * dup-group size (no N-row side table, no self-join). Quality uses
+    * the same exact-integer combination as [[qualityScore]] (shared
+    * column builders), so the threshold compare is bit-stable across
+    * engines. */
+  def trainingSet(spark: SparkSession, sfDir: String,
+                  minQuality: Double = TrainMinQuality,
+                  minTokens: Long = TrainMinTokens,
+                  maxTokens: Long = TrainMaxTokens): DataFrame = {
+    val toks = Analyzer.tokensCol(col("content"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sha"))
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), col("lang"), col("content"),
+        sha2(col("content"), 256).as("sha"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(Seq(col("docID"), col("lang"), col("sha"),
+        size(col("toks")).cast("long").as("n_tokens")) ++ ratioCols: _*)
+      .withColumn("quality", qualityCol)
+      .withColumn("rep", min(col("docID")).over(w))
+      .filter(col("docID") === col("rep") &&
+        col("quality") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .select(col("docID"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin: the same one-pass formulation (window min per sha +
+    * the exact-integer quality combination + gates), derived
+    * independently over the raw table. */
+  def trainingSetSql(minQuality: Double = TrainMinQuality,
+                     minTokens: Long = TrainMinTokens,
+                     maxTokens: Long = TrainMaxTokens): String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS docID, lang, text, sha256(text) AS sha,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), f AS (
+       |  SELECT docID, lang, sha,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_filter(toks, t -> t IN ($stops))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |    round(CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS alnum_ratio,
+       |    round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_tok_len
+       |  FROM base WHERE len(toks) > 0
+       |), q AS (
+       |  SELECT docID, lang, sha, n_tokens,
+       |    CAST(4 * (100000 - CAST(round(stop_ratio * 10000) AS BIGINT) * 10)
+       |       + 3 * CAST(round(alnum_ratio * 10000) AS BIGINT) * 10
+       |       + 3 * least(100000, CAST(round(mean_tok_len * 10000) AS BIGINT))
+       |       AS DOUBLE) / 1000000.0 AS quality,
+       |    min(docID) OVER (PARTITION BY sha) AS rep
+       |  FROM f
+       |)
+       |SELECT docID, lang, n_tokens, quality FROM q
+       |WHERE docID = rep AND quality >= $minQuality
+       |  AND n_tokens BETWEEN $minTokens AND $maxTokens
+       |ORDER BY docID""".stripMargin
   }
 
   // ---------------------------------------------------------- language ID

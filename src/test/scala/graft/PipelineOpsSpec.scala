@@ -335,6 +335,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
   }
 
+  test("training set: one-pass selection == composed standalone gates, strict subset") {
+    val kept = TextStats.trainingSet(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.nonEmpty, "gates must keep something at this scale")
+    // every kept row respects all three gates
+    assert(kept.forall(_._4 >= TextStats.TrainMinQuality))
+    assert(kept.forall(r => r._3 >= TextStats.TrainMinTokens && r._3 <= TextStats.TrainMaxTokens))
+    // cross-check against the composed standalone operators
+    val reps = Dedup.exactDedup(spark, dir).filter(!col("is_dup"))
+      .select("docID").collect().map(_.getLong(0)).toSet
+    val quality = TextStats.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val ntoks = TextStats.tokenStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = quality.keySet.filter { d =>
+      reps(d) && quality(d) >= TextStats.TrainMinQuality &&
+        ntoks(d) >= TextStats.TrainMinTokens && ntoks(d) <= TextStats.TrainMaxTokens
+    }
+    assert(kept.map(_._1).toSet == expected,
+      "one-pass selection must equal the chained standalone operators")
+    // the gates actually bite: a strict subset of the corpus survives
+    assert(kept.length < quality.size)
+  }
+
   test("winnowing: local edits far from a region keep shared fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
     val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end
