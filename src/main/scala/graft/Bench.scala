@@ -149,6 +149,11 @@ object Bench {
       (h1busy - h0busy - (readOwnJiffies() - own0)).toDouble / dTotal)
     val stealFrac = (h1steal - h0steal).toDouble / dTotal
     val docs = spark.read.parquet(s"$indexDir/docstats").count()
+    // live build gauges (A4/A5 analogue) from the LAST timed build —
+    // captured HERE, before the positional build below overwrites
+    // lastBuildMetrics with its own (2×-sized) numbers
+    val bm = Index.lastBuildMetrics.map(s =>
+      s""""build_postings":${s.postings},"build_segments":${s.segments},"build_encoded_bytes":${s.encodedBytes},"build_input_bytes":${s.inputBytes},"build_shuffle_write_bytes":${s.shuffleWriteBytes},""").getOrElse("")
     val engine = new QueryEngine(spark, Seq(indexDir), numRanges = math.max(4 * cpus, 32))
     Bm25.QuerySet.foreach { case (_, q) => engine.topK(q, rounded = true).collect() }
     val perQuery = Bm25.QuerySet.map { case (qid, q) =>
@@ -190,9 +195,6 @@ object Bench {
     def pct(p: Double) =
       lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1).max(0))
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
-    // live build gauges (A4/A5 analogue) from the LAST timed build
-    val bm = Index.lastBuildMetrics.map(s =>
-      s""""build_postings":${s.postings},"build_segments":${s.segments},"build_encoded_bytes":${s.encodedBytes},"build_input_bytes":${s.inputBytes},"build_shuffle_write_bytes":${s.shuffleWriteBytes},""").getOrElse("")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
       s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$phraseJson$bm"queries":$qs}""")
@@ -283,7 +285,10 @@ object Bench {
         i += 1
       }
     }
-    val main = runChild(cpus, corpusDir, sfDir, mem, phrase = true)
+    val main = runChild(cpus, corpusDir, sfDir, mem,
+      // SPARK_GRAFT_PHRASE=0 skips the positional build + phrase pass
+      // (iteration aid; the default full run always measures it)
+      phrase = sys.env.getOrElse("SPARK_GRAFT_PHRASE", "1") == "1")
     val n4 = n4opt.getOrElse(main)
 
     val buildSec = main("build_sec").toDouble

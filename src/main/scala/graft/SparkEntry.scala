@@ -109,6 +109,8 @@ object SparkEntry {
 
     // -- multimodal: real PNG/WAV synth + decode over binary payloads
     "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir, dumpOracle = true)),
+    "media_resize" -> ((s, dir) => Media.mediaResize(s, dir, dumpOracle = true)),
+    "video_frames" -> ((s, dir) => Media.videoFrames(s, dir)),
 
     // -- event-stream analytics (Structured Streaming; SURVEY §2.10)
     "events_windowed" -> ((s, dir) => Events.windowedCountsStreaming(s, dir)),
@@ -203,6 +205,8 @@ object SparkEntry {
     "pack_sequences" -> TextStats.packSequencesSql(),
     "training_set" -> TextStats.trainingSetSql(),
     "media_features" -> Media.mediaFeaturesSql,
+    "media_resize" -> Media.mediaResizeSql,
+    "video_frames" -> Media.videoFramesSql,
     "events_windowed" -> Events.windowedSql,
     "events_sessions" -> Events.sessionsSql,
     "metrics_rollup" -> Metrics.rollupMetricsSql,

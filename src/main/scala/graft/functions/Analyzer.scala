@@ -24,9 +24,15 @@ object Analyzer {
   val SplitPattern = "[^a-z0-9]+"
 
   /** Column-level tokenizer: `array<string>` of non-empty tokens.
-    * Pure built-in Catalyst expressions (lower/split/filter) — fully
-    * codegen'd, no UDF. */
-  def tokensCol(c: Column): Column =
+    * The fused native [[graft.functions.Tokenize]] expression — one
+    * codegen'd pass, no regex engine, zero-copy token slices. Must stay
+    * bit-identical to [[tokensColBuiltin]] (AnalyzerSpec contract). */
+  def tokensCol(c: Column): Column = Native.tokenize(c)
+
+  /** The pure-built-in formulation (lower/split/filter) the native
+    * expression fuses — kept as the semantics oracle for the
+    * equivalence contract test. */
+  def tokensColBuiltin(c: Column): Column =
     filter(split(lower(c), SplitPattern), t => length(t) > lit(0))
 
   /** Driver/executor-side Scala twin of [[tokensCol]]. Locale.ROOT so the

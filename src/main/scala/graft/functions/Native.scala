@@ -28,6 +28,79 @@ object Native {
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Codegen'd single-pass analyzer tokenization (see [[Tokenize]]). */
+  def tokenize(c: Column): Column =
+    ColumnShim.column(Tokenize(ColumnShim.expression(c)))
+}
+
+/** Single-pass kernel behind [[Tokenize]]: lowercase once (UTF8String's
+  * own ASCII fast path), then one byte scan emitting zero-copy token
+  * slices. Byte-level run detection over the LOWERED utf-8 bytes is
+  * exactly codepoint-level `[^a-z0-9]+` splitting: every byte of a
+  * multi-byte codepoint is ≥ 0x80, so no non-ASCII codepoint can leak
+  * into (or split) an ASCII [a-z0-9] run. Declared as a plain object so
+  * the generated Java calls the static forwarder directly. */
+object TokenizerKernel {
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def tokenize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val lowered = s.toLowerCase
+    val b = lowered.getBytes
+    val n = b.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && !isTok(b(i))) i += 1
+      val start = i
+      while (i < n && isTok(b(i))) i += 1
+      if (i > start)
+        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** The analyzer chain `filter(split(lower(s), "[^a-z0-9]+"), _ != '')`
+  * fused into ONE native expression. The built-in formulation is three
+  * codegen'd passes — a full lowered copy, a regex-engine split
+  * allocating a String per fragment (empties included), and a
+  * higher-order filter re-walking the array — executed once per
+  * document per build; tokenization dominates the index build's tf
+  * stage, so it gets the charter's tier-(b) treatment (native Expression
+  * with doGenCode) like [[CosineSimilarity]].
+  *
+  * Semantics contract: bit-identical output to
+  * `Analyzer.tokensColBuiltin` on ALL inputs — same lowercase call
+  * (UTF8String.toLowerCase, which is what `lower()` executes under the
+  * default UTF8_BINARY collation) and a byte-run scan equivalent to the
+  * regex (see [[TokenizerKernel]]); asserted property-style in
+  * AnalyzerSpec including non-ASCII edge cases (Kelvin sign U+212A
+  * lowers INTO 'k' and must join a token, exactly as the regex path). */
+case class Tokenize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizerKernel.tokenize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenizerKernel.tokenize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_tokenize"
 }
 
 /** cos(a, b) = Σaᵢbᵢ / √Σaᵢ² / √Σbᵢ², null if either side is null, if

@@ -254,10 +254,17 @@ object Index {
 
     // -- stage 2: doc lengths + corpus stats
     if (!done(indexDir, "docstats")) timed("docstats") {
-      Bm25.docLengths(tf)
+      // RangePartitioner SAMPLES its child before the real pass — without
+      // a persist the full 93M-row tf aggregation runs twice (once for
+      // the bounds sample, once for the write). The aggregated frame is
+      // ~1 row/doc, so caching it is docstats-sized, not tf-sized.
+      val dl0 = Bm25.docLengths(tf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dl0
         .repartitionByRange(p.partitions, col("docID"))
         .sortWithinPartitions(col("docID"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docstats")
+      dl0.unpersist(false)
       val dl = spark.read.parquet(s"$indexDir/docstats")
       dl.agg(
           count(lit(1)).cast("double").as("n"),
@@ -324,31 +331,96 @@ object Index {
       // non-positional builds is likewise materialized only post-shuffle.
       // bucket also leaves the PARTITIONING key: it is a function of term
       // (via df), so hashing (term, salt) co-locates identically.
+      var stageCleanup: () => Unit = () => ()
       val segs = if (dictSmall && doclenSmall) {
-        // salt needs df, but only for the few heavy (stop-word-like)
-        // terms — left-join just that sliver of the dictionary.
-        val saltedTerms = dict0.filter(col("df") > p.saltThreshold)
-          .select(col("term"), lit(true).as("is_salted"))
+        // len via a PRIMITIVE-ARRAY broadcast, not a BroadcastHashJoin:
+        // Spark's BroadcastExchange over the N-doc docstats collects N
+        // boxed rows on the driver and single-threadedly builds a hash
+        // relation — ~20s of NON-SCALING time per build at the 4M-doc
+        // bench (the postings stage scaled 2.84× for 4× cores while tf
+        // scaled 3.57×, pinning the 2→8 efficiency at the 0.8 gate).
+        // Instead each docstats partition packs its (docID, len) columns
+        // into primitive arrays executor-side; the driver only
+        // concatenates blobs (O(bytes), ~32 MB at 4M docs) into the same
+        // binary-searched NormsTable the query engine broadcasts.
+        // docstats is range-partitioned + sorted by docID (stage 2), so
+        // blob-concatenation in first-docID order is already globally
+        // sorted; a pair-sort fallback guards the invariant.
+        val normsBc = {
+          val blobs = doclen0.select(col("docID"), col("len")).as[(Long, Long)]
+            .mapPartitions { it =>
+              val ib = Array.newBuilder[Long]
+              val lb = Array.newBuilder[Long]
+              while (it.hasNext) { val (d, l) = it.next(); ib += d; lb += l }
+              val ia = ib.result()
+              if (ia.isEmpty) Iterator.empty
+              else Iterator.single((ia.head, ia, lb.result()))
+            }.collect().sortBy(_._1)
+          val total = blobs.iterator.map(_._2.length.toLong).sum
+          require(total <= Int.MaxValue, s"norms table needs $total slots")
+          val ids = new Array[Long](total.toInt)
+          val lens = new Array[Long](total.toInt)
+          var off = 0
+          blobs.foreach { case (_, ia, la) =>
+            System.arraycopy(ia, 0, ids, off, ia.length)
+            System.arraycopy(la, 0, lens, off, la.length)
+            off += ia.length
+          }
+          var sorted = true
+          var i = 1
+          while (sorted && i < off) { sorted = ids(i - 1) < ids(i); i += 1 }
+          if (!sorted) { // stage-2 layout invariant violated — sort pairs
+            val pairs = ids.zip(lens).sortBy(_._1)
+            var j = 0
+            while (j < off) { ids(j) = pairs(j)._1; lens(j) = pairs(j)._2; j += 1 }
+          }
+          spark.sparkContext.broadcast(new QueryEngine.NormsTable(ids, lens))
+        }
+        // Dictionary-encode the shuffle/sort key: terms become dense int
+        // ids via a tiny pre-shuffle broadcast join (whole-stage codegen
+        // intact), so (a) the exchange ships (termId, docID, tf, salt) —
+        // fixed-width ints, no strings — and (b) the 93M-row
+        // sortWithinPartitions radix-sorts (int, long) prefixes instead
+        // of comparing strings per element. df rides only into the salt
+        // expression and is dropped before the exchange; term/df/bucket
+        // are recovered post-shuffle by INDEXING the broadcast arrays
+        // (no hash relation at all on the big side).
+        val (termArr, dfArr, bucketArr) = {
+          val rows = dict0.select(col("term"), col("df"), col("bucket"))
+            .as[(String, Long, Int)].collect().sortBy(_._1)
+          (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+        }
+        val dictBc = spark.sparkContext.broadcast((termArr, dfArr, bucketArr))
+        stageCleanup = () => { normsBc.destroy(); dictBc.destroy() }
+        val dictId = spark.createDataFrame(
+          termArr.indices.map(i => (termArr(i), i, dfArr(i))))
+          .toDF("term", "termId", "df")
         val lean = tf
-          .join(broadcast(saltedTerms), Seq("term"), "left")
+          .join(broadcast(dictId), Seq("term"))
           .withColumn("salt",
-            when(col("is_salted"),
+            when(col("df") > p.saltThreshold,
               floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
-          .select(col("term") +: col("docID") +: col("tf") +: col("salt") +:
+          .select(col("termId") +: col("docID") +: col("tf") +: col("salt") +:
             (if (p.storePositions) Seq(col("positions")) else Nil): _*)
-        lean
-          .repartition(p.partitions, col("term"), col("salt"))
+        val shuffled = lean
+          .repartition(p.partitions, col("termId"), col("salt"))
           .drop("salt")
-          .join(broadcast(doclen0), "docID") // narrow: no new exchange
-          .join(broadcast(dict0), "term")
-          .withColumn("positions",
-            if (p.storePositions) col("positions")
-            else array().cast("array<bigint>"))
-          .select(col("term"), col("docID"), col("tf"), col("len"),
-            col("df"), col("bucket"), col("positions"))
-          .sortWithinPartitions(col("term"), col("docID"))
-          .as[TermPosting]
-          .mapPartitions(it => encodePartition(it, p, m))
+          .sortWithinPartitions(col("termId"), col("docID"))
+        def decode[T](it: Iterator[T])(f: T => (Int, Long, Long, Array[Long])) = {
+          val (terms, dfs, buckets) = dictBc.value
+          val norms = normsBc.value
+          encodePartition(it.map { row =>
+            val (id, d, tfv, pos) = f(row)
+            TermPosting(terms(id), d, tfv, norms(d), dfs(id), buckets(id), pos)
+          }, p, m)
+        }
+        if (p.storePositions)
+          shuffled.as[(Int, Long, Long, Array[Long])]
+            .mapPartitions(it => decode(it)(identity))
+        else
+          shuffled.as[(Int, Long, Long)]
+            .mapPartitions(it => decode(it) { case (id, d, tfv) =>
+              (id, d, tfv, Array.empty[Long]) })
       } else {
         // 10^12-file fallback: dictionary/docstats outgrow executor
         // memory, so the stats must be attached by shuffle joins before
@@ -374,6 +446,7 @@ object Index {
 
       segs.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(s"$indexDir/postings")
+      stageCleanup() // drop the norms broadcast once the write is durable
       val lin = spark.read.parquet(s"$indexDir/postings")
         .groupBy(col("bucket").as("partitionId"))
         .agg(count(lit(1)).as("rowCount"), sum(col("count")).as("tokenCount"))

@@ -214,6 +214,169 @@ object Media {
     }
   }
 
+  // --------------------------------------------------------- resize
+
+  /** Thumbnail edge for [[mediaResize]]. */
+  val ThumbSize = 8
+
+  /** Nearest-neighbor resize of a decoded grayscale raster to th×tw:
+    * out(py, px) = src(py*h div th, px*w div tw) — pure integer
+    * indexing, so the oracle can recompute it relationally from the
+    * dumped raster with bit-equal results (no float resampling grid). */
+  def resizeNearest(img: java.awt.image.BufferedImage,
+                    tw: Int, th: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val out = new Array[Int](tw * th)
+    var py = 0
+    while (py < th) {
+      val sy = py * h / th
+      var px = 0
+      while (px < tw) {
+        val sx = px * w / tw
+        out(py * tw + px) =
+          if (bands >= 3)
+            (raster.getSample(sx, sy, 0) + raster.getSample(sx, sy, 1) +
+              raster.getSample(sx, sy, 2)) / 3
+          else raster.getSample(sx, sy, 0)
+        px += 1
+      }
+      py += 1
+    }
+    out
+  }
+
+  final case class ThumbPixel(docID: Long, py: Int, px: Int, gray: Long)
+  final case class RasterPixel(docID: Long, y: Int, x: Int, gray: Long)
+
+  /** Image resize over the media table (even docIDs = the PNG rows):
+    * real PNG decode + nearest-neighbor thumbnail, one row per output
+    * pixel (docID, py, px, gray), deterministic order. The decode
+    * happens once per doc inside a typed mapPartitions kernel; the
+    * resize itself is embarrassingly parallel, no shuffle — the same
+    * scale shape as [[mediaFeatures]].
+    *
+    * Oracle strategy: the decoded full raster is dumped as a side
+    * artifact (`media_raster`) and the SQL twin recomputes the
+    * nearest-neighbor index map `(py*h div th, px*w div tw)` — with
+    * h, w in CLOSED FORM from docID — and joins it against the raster.
+    * The raster itself is honest because [[mediaFeatures]] already
+    * gates that the decode recovers the encoder's true geometry, and
+    * the histogram kernel is fixture-tested. */
+  def mediaResize(spark: SparkSession, sfDir: String,
+                  dumpOracle: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val pngs = mediaTable(spark, sfDir)
+      .filter(col("docID") % 2 === 0)
+      .as[(Long, Array[Byte])]
+    if (dumpOracle) {
+      val raster = pngs.mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        val r = img.getRaster
+        val bands = r.getNumBands
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+          val g = if (bands >= 3)
+            (r.getSample(x, y, 0) + r.getSample(x, y, 1) + r.getSample(x, y, 2)) / 3
+          else r.getSample(x, y, 0)
+          RasterPixel(id, y, x, g.toLong)
+        }
+      })
+      OracleSide.dump("media_raster", raster.toDF())
+    }
+    pngs.mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        val thumb = resizeNearest(img, ThumbSize, ThumbSize)
+        for (py <- 0 until ThumbSize; px <- 0 until ThumbSize)
+          yield ThumbPixel(id, py, px, thumb(py * ThumbSize + px).toLong)
+      })
+      .toDF()
+      .orderBy(col("docID"), col("py"), col("px"))
+  }
+
+  def mediaResizeSql: String =
+    s"""SELECT d.doc_id AS docID,
+       |       CAST(py.range AS INTEGER) AS py, CAST(px.range AS INTEGER) AS px,
+       |       r.gray
+       |FROM documents d, range($ThumbSize) py, range($ThumbSize) px,
+       |     ${OracleSide.glob("media_raster")} r
+       |WHERE d.doc_id % 2 = 0
+       |  AND r.docID = d.doc_id
+       |  AND r.y = (py.range * (8 + (d.doc_id // 24) % 24)) // $ThumbSize
+       |  AND r.x = (px.range * (8 + d.doc_id % 24)) // $ThumbSize
+       |ORDER BY docID, py, px""".stripMargin
+
+  // ----------------------------------------------------- frame sampling
+
+  /** Frames per synthetic video and the sampling stride. */
+  def videoFrameCount(docID: Long): Int = (3 + docID % 5).toInt
+  val FrameStride = 2
+
+  /** Deterministic multi-frame container (stand-in for a video codec,
+    * which isn't available offline — the brief's prescribed stub): magic
+    * "GVID" + int32 frame count + int32 per-frame byte lengths + the
+    * frames themselves as REAL PNG blobs of per-frame geometry. A
+    * correct frame-sampler must parse the length table to locate a
+    * frame — there is no fixed stride to cheat with. */
+  def encodeVideo(docID: Long): Array[Byte] = {
+    val n = videoFrameCount(docID)
+    val frames = (0 until n).map(f => encodePng(docID * 31 + f))
+    val buf = ByteBuffer.allocate(8 + 4 * n + frames.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(n)
+    frames.foreach(f => buf.putInt(f.length))
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  final case class FrameFeature(docID: Long, frame_idx: Int,
+                                n_frames: Int, width: Long, height: Long)
+
+  /** Frame sampling over a table of opaque video payloads: parse the
+    * container header, decode ONLY every [[FrameStride]]-th frame (the
+    * point of frame-sampling at scale — skipped frames are never
+    * inflated), emit per-sampled-frame features. Per-row mapPartitions
+    * kernel, no shuffle.
+    *
+    * Oracle: frame geometry is closed-form in (docID, frame_idx) via the
+    * encoder (`pngWidth/Height(docID*31+f)`), so the SQL twin predicts
+    * every sampled frame's dims without artifacts — matching proves the
+    * sampler located and truly decoded the right frames. */
+  def videoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val videoUdf = udf((id: Long) => encodeVideo(id))
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), videoUdf(col("docID")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(buf.getInt(0) == ByteBuffer.wrap("GVID".getBytes("US-ASCII"))
+          .order(ByteOrder.LITTLE_ENDIAN).getInt(0), "bad magic")
+        val n = buf.getInt(4)
+        val lens = (0 until n).map(i => buf.getInt(8 + 4 * i))
+        val offsets = lens.scanLeft(8 + 4 * n)(_ + _)
+        (0 until n by FrameStride).map { f =>
+          val blob = java.util.Arrays.copyOfRange(payload, offsets(f), offsets(f + 1))
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"frame $f of doc $id not decodable")
+          FrameFeature(id, f, n, img.getWidth.toLong, img.getHeight.toLong)
+        }
+      })
+      .toDF()
+      .orderBy(col("docID"), col("frame_idx"))
+  }
+
+  def videoFramesSql: String =
+    s"""SELECT d.doc_id AS docID,
+       |       CAST(f.range AS INTEGER) AS frame_idx,
+       |       CAST(3 + d.doc_id % 5 AS INTEGER) AS n_frames,
+       |       CAST(8 + (d.doc_id * 31 + f.range) % 24 AS BIGINT) AS width,
+       |       CAST(8 + ((d.doc_id * 31 + f.range) // 24) % 24 AS BIGINT) AS height
+       |FROM documents d, range(0, 8, $FrameStride) f
+       |WHERE f.range < 3 + d.doc_id % 5
+       |ORDER BY docID, frame_idx""".stripMargin
+
   def mediaFeaturesSql: String =
     s"""SELECT d.doc_id AS docID,
        |  CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS format,

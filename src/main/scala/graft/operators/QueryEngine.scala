@@ -472,11 +472,15 @@ final class QueryEngine(
     // total query df at or below which WAND runs ON THE DRIVER against
     // driver-cached segments + the local norms array — no Spark job at
     // all (VERDICT r2 #4: distributed latency is scheduling-bound).
-    // 12M postings ≈ tens of ms of single-thread decode worst-case vs
-    // ~180 ms/job scheduling floor; beyond it the distributed scan path
-    // wins. 0 disables the fast path (the path-identity specs compare
-    // all three paths).
-    localWandUpTo: Long = 12_000_000L) extends Serializable {
+    // Threshold MEASURED, not guessed: a single-term query must score
+    // every posting, and the driver-local kernel sustains ~2.5M
+    // postings/s decode+score (BENCH r3: 3.1M-df single-term queries
+    // took 1.1-1.3 s locally vs ~200 ms distributed at local[32]), so
+    // the local path wins only below ~200 ms × 2.5M/s ≈ 500k total df.
+    // The first 12M-df default turned the whole bench query set into
+    // driver-serial scans — p50 198→1139 ms. 0 disables the fast path
+    // (the path-identity specs compare all three paths).
+    localWandUpTo: Long = 500_000L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._

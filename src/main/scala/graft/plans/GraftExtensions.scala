@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      new ExpressionInfo(classOf[graft.functions.Tokenize].getName, "graft_tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_tokenize expects 1 argument, got ${children.length}")
+        graft.functions.Tokenize(children.head)
+      }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

@@ -393,6 +393,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media: nearest-neighbor resize maps thumbnail pixels to exact source pixels") {
+    // kernel on a known raster: 4x3 fixture resized to 2x2 must pick
+    // src pixels (x,y) = (0,0),(2,0),(0,1),(2,1) by integer div
+    val in = getClass.getResourceAsStream("/tiny_gray_4x3.png")
+    val img = javax.imageio.ImageIO.read(in)
+    val t = Media.resizeNearest(img, 2, 2)
+    def src(x: Int, y: Int) = img.getRaster.getSample(x, y, 0)
+    assert(t.toSeq == Seq(src(0, 0), src(2, 0), src(0, 1), src(2, 1)))
+    // operator frame: one row per thumbnail pixel for every PNG doc
+    val rows = Media.mediaResize(spark, dir).collect()
+    val pngDocs = rows.map(_.getLong(0)).distinct
+    assert(pngDocs.length == 250 &&
+      rows.length == 250 * Media.ThumbSize * Media.ThumbSize)
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 255))
+    // identity case: a source exactly ThumbSize wide/tall maps 1:1 —
+    // synthesize one via the encoder's geometry (w=h=8 → docID 0)
+    val d0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Media.encodePng(0L)))
+    assert(d0.getWidth == 8 && d0.getHeight == 8)
+    val t0 = Media.resizeNearest(d0, 8, 8)
+    val full = for (y <- 0 until 8; x <- 0 until 8)
+      yield d0.getRaster.getSample(x, y, 0)
+    assert(t0.toSeq == full)
+  }
+
+  test("media: frame sampler parses the container and decodes only sampled frames") {
+    val rows = Media.videoFrames(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((id, f, n, w, h) <- rows) {
+      assert(n == Media.videoFrameCount(id))
+      assert(f % Media.FrameStride == 0 && f < n)
+      // decoded dims equal the per-frame encoder geometry — the sampler
+      // found the right blob via the length table
+      assert(w == Media.pngWidth(id * 31 + f) && h == Media.pngHeight(id * 31 + f),
+        s"doc $id frame $f")
+    }
+    // every doc contributes exactly ceil(n / stride) sampled frames
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.forall { case (id, fs) =>
+      fs.length == (Media.videoFrameCount(id) + Media.FrameStride - 1) / Media.FrameStride
+    })
+  }
+
   test("media: checked-in tiny PNG decodes to known size and histogram") {
     val in = getClass.getResourceAsStream("/tiny_gray_4x3.png")
     assert(in != null, "fixture src/test/resources/tiny_gray_4x3.png missing")
