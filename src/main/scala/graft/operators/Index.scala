@@ -325,12 +325,12 @@ object Index {
       // 4.98 GB shuffled for 189 MB of encoded output. len/df/bucket are
       // all re-derivable AFTER the exchange from broadcast side tables
       // (docstats resp. dictionary), so when those fit the broadcast caps
-      // the shuffled row carries only (term, docID, tf, salt) — salt must
-      // ride along because the exchange hashes on it, but it is 0 for
-      // unsalted terms and lz4 flattens it. The empty positions array of
-      // non-positional builds is likewise materialized only post-shuffle.
-      // bucket also leaves the PARTITIONING key: it is a function of term
-      // (via df), so hashing (term, salt) co-locates identically.
+      // the shuffled row packs down to (key, docID<<20|tf) — two longs
+      // per posting (see the key/value packing note below). The empty
+      // positions array of non-positional builds is materialized only
+      // post-shuffle. bucket also leaves the PARTITIONING key: it is a
+      // function of term (via df), so hashing the term-derived key
+      // co-locates identically.
       var stageCleanup: () => Unit = () => ()
       val segs = if (dictSmall && doclenSmall) {
         // len via a PRIMITIVE-ARRAY broadcast, not a BroadcastHashJoin:
@@ -346,7 +346,7 @@ object Index {
         // docstats is range-partitioned + sorted by docID (stage 2), so
         // blob-concatenation in first-docID order is already globally
         // sorted; a pair-sort fallback guards the invariant.
-        val normsBc = {
+        val (normsBc, maxDoc, maxLen) = {
           val blobs = doclen0.select(col("docID"), col("len")).as[(Long, Long)]
             .mapPartitions { it =>
               val ib = Array.newBuilder[Long]
@@ -374,17 +374,27 @@ object Index {
             var j = 0
             while (j < off) { ids(j) = pairs(j)._1; lens(j) = pairs(j)._2; j += 1 }
           }
-          spark.sparkContext.broadcast(new QueryEngine.NormsTable(ids, lens))
+          var ml = 0L
+          var j = 0
+          while (j < off) { if (lens(j) > ml) ml = lens(j); j += 1 }
+          (spark.sparkContext.broadcast(new QueryEngine.NormsTable(ids, lens)),
+           if (off > 0) ids(off - 1) else 0L, ml)
         }
         // Dictionary-encode the shuffle/sort key: terms become dense int
         // ids via a tiny pre-shuffle broadcast join (whole-stage codegen
-        // intact), so (a) the exchange ships (termId, docID, tf, salt) —
-        // fixed-width ints, no strings — and (b) the 93M-row
-        // sortWithinPartitions radix-sorts (int, long) prefixes instead
-        // of comparing strings per element. df rides only into the salt
-        // expression and is dropped before the exchange; term/df/bucket
-        // are recovered post-shuffle by INDEXING the broadcast arrays
-        // (no hash relation at all on the big side).
+        // intact) and the SALT RIDES INSIDE THE KEY — chunkIdx =
+        // docID/saltChunk is monotone in docID, so
+        // key = termId*saltCap + chunkIdx (chunkIdx only for salted
+        // terms) sorts exactly like (termId, docID) while hashing
+        // exactly like the old (termId, salt) pair; no separate salt
+        // column ships. saltCap is sized to the corpus's true max chunk
+        // index (driver-known from the norms arrays), so no chunk ever
+        // aliases. When docIDs fit 43 bits and doc lengths 20 (checked
+        // driver-side, true until ~8.8T docs / 1M-token docs), the value
+        // packs as docID<<20|tf — the exchange row is TWO longs. The
+        // 93M-row sortWithinPartitions radix-sorts (long, long) prefixes;
+        // term/df/bucket are recovered post-shuffle by INDEXING the
+        // broadcast arrays (no hash relation at all on the big side).
         val (termArr, dfArr, bucketArr) = {
           val rows = dict0.select(col("term"), col("df"), col("bucket"))
             .as[(String, Long, Int)].collect().sortBy(_._1)
@@ -395,17 +405,25 @@ object Index {
         val dictId = spark.createDataFrame(
           termArr.indices.map(i => (termArr(i), i, dfArr(i))))
           .toDF("term", "termId", "df")
+        val saltCap = maxDoc / p.saltChunk + 2
+        require(termArr.isEmpty || termArr.length.toLong <= Long.MaxValue / saltCap,
+          s"term-id × salt-chunk key space overflow: ${termArr.length} × $saltCap")
+        val keyCol = (col("termId").cast("long") * lit(saltCap) +
+          when(col("df") > p.saltThreshold,
+            floor(col("docID") / p.saltChunk)).otherwise(lit(0L))).as("key")
+        val packed = !p.storePositions &&
+          maxDoc < (1L << 43) && maxLen < (1L << 20)
         val lean = tf
           .join(broadcast(dictId), Seq("term"))
-          .withColumn("salt",
-            when(col("df") > p.saltThreshold,
-              floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
-          .select(col("termId") +: col("docID") +: col("tf") +: col("salt") +:
-            (if (p.storePositions) Seq(col("positions")) else Nil): _*)
+          .select(keyCol +: (
+            if (p.storePositions) Seq(col("docID"), col("tf"), col("positions"))
+            else if (packed)
+              Seq(shiftleft(col("docID"), 20).bitwiseOR(col("tf")).as("v"))
+            else Seq(col("docID"), col("tf"))): _*)
         val shuffled = lean
-          .repartition(p.partitions, col("termId"), col("salt"))
-          .drop("salt")
-          .sortWithinPartitions(col("termId"), col("docID"))
+          .repartition(p.partitions, col("key"))
+          .sortWithinPartitions(col("key"),
+            if (packed) col("v") else col("docID"))
         def decode[T](it: Iterator[T])(f: T => (Int, Long, Long, Array[Long])) = {
           val (terms, dfs, buckets) = dictBc.value
           val norms = normsBc.value
@@ -415,12 +433,18 @@ object Index {
           }, p, m)
         }
         if (p.storePositions)
-          shuffled.as[(Int, Long, Long, Array[Long])]
-            .mapPartitions(it => decode(it)(identity))
+          shuffled.as[(Long, Long, Long, Array[Long])]
+            .mapPartitions(it => decode(it) { case (k, d, tfv, pos) =>
+              ((k / saltCap).toInt, d, tfv, pos) })
+        else if (packed)
+          shuffled.as[(Long, Long)]
+            .mapPartitions(it => decode(it) { case (k, v) =>
+              ((k / saltCap).toInt, v >>> 20, v & ((1L << 20) - 1),
+               Array.empty[Long]) })
         else
-          shuffled.as[(Int, Long, Long)]
-            .mapPartitions(it => decode(it) { case (id, d, tfv) =>
-              (id, d, tfv, Array.empty[Long]) })
+          shuffled.as[(Long, Long, Long)]
+            .mapPartitions(it => decode(it) { case (k, d, tfv) =>
+              ((k / saltCap).toInt, d, tfv, Array.empty[Long]) })
       } else {
         // 10^12-file fallback: dictionary/docstats outgrow executor
         // memory, so the stats must be attached by shuffle joins before
