@@ -73,6 +73,13 @@ object Explain {
             .cast("long").as("n_tokens")),
         graft.operators.TextStats.PackBudget, 64L, checkpoint = false))
 
+    show("repetition stats (per-doc modal bigram, shuffle-free)",
+      "Expect: Scan → Project (sorted-run aggregate HOF) with NO " +
+        "hashpartitioning anywhere — the only Exchange is the " +
+        "presentation orderBy's rangepartitioning (an explode+groupBy " +
+        "formulation would shuffle ~n rows per doc).",
+      graft.operators.TextStats.repetitionStats(spark, sfDir))
+
     show("brute-force BM25 oracle",
       "Expect: broadcast of the 1-row stats; shuffle joins tf⋈df⋈len; " +
         "window rank per query.",

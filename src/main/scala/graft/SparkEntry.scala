@@ -104,6 +104,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) => TextStats.sampleStratified(s, dir)),
     "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
     "training_set" -> ((s, dir) => TextStats.trainingSet(s, dir)),
+    "repetition_stats" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
+    "pii_scrub" -> ((s, dir) => TextStats.piiScrub(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
 
@@ -204,6 +206,8 @@ object SparkEntry {
     "sample_stratified" -> TextStats.sampleStratifiedSql(),
     "pack_sequences" -> TextStats.packSequencesSql(),
     "training_set" -> TextStats.trainingSetSql(),
+    "repetition_stats" -> TextStats.repetitionStatsSql,
+    "pii_scrub" -> TextStats.piiScrubSql,
     "media_features" -> Media.mediaFeaturesSql,
     "media_resize" -> Media.mediaResizeSql,
     "video_frames" -> Media.videoFramesSql,

@@ -480,7 +480,22 @@ final class QueryEngine(
     // The first 12M-df default turned the whole bench query set into
     // driver-serial scans — p50 198→1139 ms. 0 disables the fast path
     // (the path-identity specs compare all three paths).
-    localWandUpTo: Long = 500_000L) extends Serializable {
+    localWandUpTo: Long = 500_000L,
+    // Parallel extension of the driver-local path: a query whose total
+    // df is in (localWandUpTo, localWandUpTo × threads] runs the SAME
+    // WAND kernel sharded by docID range on a driver-side thread pool —
+    // still zero Spark jobs. The per-thread budget stays localWandUpTo
+    // (the measured serial crossover), so the pooled path only claims
+    // queries it can finish under the distributed scheduling floor.
+    // -1 = auto (min(defaultParallelism, 32) threads); 0/1 disables
+    // pooling (serial threshold only). At 10^12 scale this is the "query
+    // node holding hot shards" design: the bounded LRU below decides
+    // which terms are resident, everything else stays distributed.
+    localWandThreads: Int = -1,
+    // total-df ceiling of the pooled path; -1 = auto
+    // (localWandUpTo × threads, i.e. pooled wall time ≈ the measured
+    // serial crossover). Settable directly for tests/tuning.
+    localWandParallelUpTo: Long = -1L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
@@ -602,6 +617,7 @@ final class QueryEngine(
     sideBcCache.clear()
     localSegCache.clear()
     localSegPostings = 0L
+    localPool.shutdown()
     normsBc.foreach(_.destroy())
     if (cachePostings) postingsByDir.values.foreach(_.unpersist(false))
   }
@@ -615,7 +631,31 @@ final class QueryEngine(
     * bounded by total cached postings. */
   private val localSegCache = mutable.LinkedHashMap.empty[String, Array[PostingSegment]]
   private var localSegPostings = 0L
-  private val localSegCacheMaxPostings = 4L * localWandUpTo
+
+  /** Effective pool width for the parallel local path (0/1 = serial only). */
+  private val localThreads: Int =
+    if (localWandThreads < 0)
+      math.min(spark.sparkContext.defaultParallelism, 32)
+    else localWandThreads
+  /** Total-df ceiling of the pooled local path: per-thread serial budget
+    * × pool width, so pooled wall time ≈ the serial crossover time. */
+  private val localParallelCap: Long =
+    if (localWandUpTo <= 0 || localThreads <= 1) 0L
+    else if (localWandParallelUpTo >= 0) localWandParallelUpTo
+    else localWandUpTo * localThreads
+  private val localSegCacheMaxPostings =
+    4L * math.max(localWandUpTo, localParallelCap)
+
+  /** Lazily-built pool backing the parallel local path; daemon threads so
+    * an unclosed engine never blocks JVM exit. */
+  @transient private lazy val localPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, localThreads),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-local-wand")
+        t.setDaemon(true)
+        t
+      })
 
   /** Fetch (cache-through) the full segment arrays of `terms`, one pruned
     * collect per index dir for the misses. Caller holds `synchronized`. */
@@ -722,12 +762,32 @@ final class QueryEngine(
     // paths, so results are rank-identical by construction (asserted in
     // IndexQuerySpec across all three paths). Works for AND, OR and
     // phrase (all terms are co-located on the driver).
+    val totalDf = combinedDf.values.sum
     if (normsBc.isDefined && localWandUpTo > 0 &&
-        combinedDf.values.sum <= localWandUpTo) {
+        totalDf <= math.max(localWandUpTo, localParallelCap)) {
       val byTerm = synchronized { localSegsFor(termCtx.map(_.term), perDir) }
       val norms = normsBc.get.value
-      val hits = wandFn(byTerm, termCtx, norms.apply, avgdl,
-        0L, Long.MaxValue, k, rounded)
+      val hits: Seq[ScoredDoc] =
+        if (totalDf <= localWandUpTo)
+          wandFn(byTerm, termCtx, norms.apply, avgdl,
+            0L, Long.MaxValue, k, rounded)
+        else {
+          // pooled kernel: shard the docID space exactly like the
+          // distributed range path (disjoint ranges, per-range top-k,
+          // one global merge) so rank identity holds by construction.
+          // ~25k postings/range ≈ 10 ms of serial kernel per task,
+          // capped at 4× the pool so task-submit overhead stays trivial
+          val nr = math.max(1L, math.min(4L * localThreads,
+            math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+          val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+          (0 until nr).map { r =>
+            localPool.submit(new java.util.concurrent.Callable[Seq[ScoredDoc]] {
+              def call(): Seq[ScoredDoc] =
+                wandFn(byTerm, termCtx, norms.apply, avgdl,
+                  r * rsz, (r + 1L) * rsz, kk, rnd)
+            })
+          }.flatMap(_.get())
+        }
       val ordered =
         (if (rounded) hits.map(h => ScoredDoc(h.docID, r4(h.score))) else hits)
           .sortBy(h => (-h.score, h.docID)).take(k)

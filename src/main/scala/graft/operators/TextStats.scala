@@ -623,4 +623,132 @@ object TextStats {
        |FROM p a JOIN p b ON a.fp = b.fp AND a.docID < b.docID
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY docA, docB""".stripMargin
+
+  // --------------------------------------------- repetition (Gopher-style)
+
+  /** Per-doc repetition signals (the Gopher/MassiveText repetition
+    * filters, restated for this corpus's whitespace prose):
+    * `distinct_bigram_frac` = distinct bigrams / bigrams, and
+    * `top_bigram_frac` = occurrences of the modal bigram / total
+    * bigrams — boilerplate and looped generations score high on the
+    * latter.
+    *
+    * Scale design: completely SHUFFLE-FREE. The modal-bigram count is
+    * max-run-length over the doc's SORTED bigram array, computed by a
+    * codegen'd `aggregate` HOF with (prev, run, best) struct state —
+    * O(n log n) per row, no explode/groupBy (an exploded bigram groupBy
+    * would shuffle ~n rows per doc at 100 TB for a per-doc statistic).
+    * Docs with < 2 analyzer tokens are excluded (no bigrams). */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Analyzer.tokensCol(col("content"))
+    val n = size(col("toks"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), n - 1),
+      slice(col("toks"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // max run length over the sorted bigram list; "" sentinel can never
+    // equal a real bigram (analyzer tokens are non-empty)
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val modalCount = aggregate(
+      array_sort(col("bgs")), init,
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), toks.as("toks"))
+      .filter(n >= 2)
+      .select(col("docID"), n.as("n_tokens"), bigrams.as("bgs"))
+      .select(
+        col("docID"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(size(array_distinct(col("bgs"))).cast("double") /
+          (col("n_tokens") - 1), 4).as("distinct_bigram_frac"),
+        round(modalCount.cast("double") / (col("n_tokens") - 1), 4)
+          .as("top_bigram_frac"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[repetitionStats]]: the modal bigram via an honest
+    * unnest + GROUP BY (the oracle may shuffle; the engine must not). */
+  def repetitionStatsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS docID,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                     t -> t <> '') AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT docID, len(toks) AS n,
+      |         list_transform(range(1, len(toks)),
+      |                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      |  FROM base WHERE len(toks) >= 2
+      |), g AS (
+      |  SELECT docID, unnest(bgs) AS bg FROM b
+      |), c AS (
+      |  SELECT docID, bg, count(*) AS cnt FROM g GROUP BY 1, 2
+      |), m AS (
+      |  SELECT docID, max(cnt) AS modal, count(*) AS n_distinct,
+      |         sum(cnt) AS n_bigrams
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT b.docID, CAST(b.n AS BIGINT) AS n_tokens,
+      |       round(CAST(m.n_distinct AS DOUBLE) / m.n_bigrams, 4)
+      |         AS distinct_bigram_frac,
+      |       round(CAST(m.modal AS DOUBLE) / m.n_bigrams, 4)
+      |         AS top_bigram_frac
+      |FROM b JOIN m USING (docID) ORDER BY docID""".stripMargin
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** PII redaction over a deterministically DERIVED pii-bearing corpus:
+    * the synthetic documents carry no addresses, so each doc gets a
+    * reproducible email + phone spliced mid-text (same derivation in the
+    * SQL twin — the scrub has real work to do and the gate compares the
+    * redacted TEXT, not just counts). Output
+    * (docID, n_emails, n_phones, scrubbed).
+    *
+    * Scale design: pure per-row regexp column ops (codegen'd, no UDF,
+    * no shuffle); patterns use only char classes / `+` so the Java and
+    * RE2-ish dialects agree. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val PhoneRe = "555-[0-9]+"
+
+  private def withPiiCol: org.apache.spark.sql.Column =
+    concat(
+      substring(col("content"), 1, 40),
+      lit(" user"), col("docID"), lit("@mail.example.com "),
+      lit("call 555-"), col("docID") % 10000, lit(" "),
+      substring(col("content"), 41, 1000000))
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), withPiiCol.as("pii_text"))
+      .select(
+        col("docID"),
+        regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii_text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy(col("docID"))
+
+  /** DuckDB twin of [[piiScrub]] (same text derivation + patterns). */
+  def piiScrubSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id AS docID,
+       |         substr(text, 1, 40) || ' user' || doc_id ||
+       |         '@mail.example.com call 555-' || (doc_id % 10000) || ' ' ||
+       |         substr(text, 41, 1000000) AS pii_text
+       |  FROM documents
+       |)
+       |SELECT docID,
+       |       CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT)
+       |         AS n_emails,
+       |       CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT)
+       |         AS n_phones,
+       |       regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
+       |                      '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM p ORDER BY docID""".stripMargin
 }

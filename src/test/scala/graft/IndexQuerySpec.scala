@@ -96,6 +96,33 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(after == before, s"fast path launched ${after - before} job(s)")
   }
 
+  test("pooled driver-local path: identical to serial local + distributed; no job launched") {
+    built
+    // Force the POOLED branch: serial threshold 1 posting with an
+    // explicit pooled ceiling → every fixture query's total df lands in
+    // (1, 1M], so the kernel runs sharded on the 8-thread pool. Phrase
+    // needs positions, so AND/OR only here (phrase parity is covered on
+    // the positional index).
+    val pooled = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
+    val dist = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    for ((_, qtext) <- Bm25.QuerySet) {
+      assert(collectTopK(pooled.topK(qtext)) == collectTopK(dist.topK(qtext)),
+        s"AND '$qtext'")
+      assert(collectTopK(pooled.topKOr(qtext)) == collectTopK(dist.topKOr(qtext)),
+        s"OR '$qtext'")
+    }
+    pooled.topK("hash join", rounded = true).collect() // warm the term cache
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val out = pooled.topK("hash join", rounded = true).collect()
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(out.nonEmpty)
+    assert(after == before, s"pooled path launched ${after - before} job(s)")
+    pooled.close(); dist.close()
+  }
+
   test("OR mode: rank-identity vs exact disjunctive oracle (every query)") {
     built
     for ((qid, qtext) <- Bm25.QuerySet if qtext != "zzzzunknown") {

@@ -359,6 +359,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.length < quality.size)
   }
 
+  test("repetition stats: shuffle-free HOF == plain-Scala brute force, every doc") {
+    import graft.functions.Analyzer
+    import graft.operators.QueryEngine.r4
+    val rows = TextStats.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val docs = Corpus.docs(spark, dir)
+      .select(col("docID"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    for ((id, content) <- docs) {
+      val toks = Analyzer.tokenize(content)
+      if (toks.length >= 2) {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = bgs.groupBy(identity).view.mapValues(_.size)
+        val (n, dFrac, tFrac) = rows(id)
+        assert(n == toks.length.toLong)
+        assert(dFrac == r4(counts.size.toDouble / bgs.length), s"doc $id distinct")
+        assert(tFrac == r4(counts.values.max.toDouble / bgs.length), s"doc $id modal")
+        checked += 1
+      } else assert(!rows.contains(id))
+    }
+    assert(checked > 400, "fixture should exercise most docs")
+    // the plan must be shuffle-free up to the presentation orderBy: a
+    // per-doc statistic never hash-partitions (explode+groupBy would)
+    val plan = TextStats.repetitionStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc aggregation introduced a hash shuffle:\n$plan")
+  }
+
+  test("pii scrub: every derived address redacted; surrounding text intact") {
+    val rows = TextStats.piiScrub(spark, dir).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (id, nEmail, nPhone, scrubbed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nEmail == 1L && nPhone == 1L, s"doc $id counts")
+      assert(!scrubbed.contains("@"), s"doc $id leaked an address")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+      assert(!scrubbed.contains("555-"), s"doc $id leaked a number")
+    }
+    // exact splice check on one doc: scrub(inject(text)) restores the
+    // original text with the placeholders in the injection seams
+    val text = Corpus.docs(spark, dir).filter(col("docID") === 7L)
+      .select(col("content")).collect()(0).getString(0)
+    val expected = text.substring(0, 40) + " <EMAIL> call <PHONE> " +
+      text.substring(40)
+    val got = rows.find(_.getLong(0) == 7L).get.getString(3)
+    assert(got == expected)
+  }
+
   test("winnowing: local edits far from a region keep shared fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home".split(" ").toIndexedSeq
     val b = (a.take(10) :+ "CHANGED") ++ a.drop(11) // one token swapped near the end
