@@ -108,6 +108,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) => TextStats.piiScrub(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
+    "decontaminate" -> ((s, dir) => TextStats.decontaminate(s, dir, dumpOracle = true)),
 
     // -- multimodal: real PNG/WAV synth + decode over binary payloads
     "media_features" -> ((s, dir) => Media.mediaFeatures(s, dir, dumpOracle = true)),
@@ -199,6 +200,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashDedupSql(),
     "doc_fingerprints" -> TextStats.fingerprintsSql,
     "clone_pairs" -> TextStats.clonePairsSql(),
+    "decontaminate" -> TextStats.decontaminateSql(),
     "token_stats" -> TextStats.tokenStatsSql,
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,

@@ -751,4 +751,76 @@ object TextStats {
        |       regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
        |                      '$PhoneRe', '<PHONE>', 'g') AS scrubbed
        |FROM p ORDER BY docID""".stripMargin
+
+  // --------------------------------------- benchmark decontamination
+
+  /** Every DeconModulus-th docID plays the held-out eval benchmark. */
+  val DeconModulus = 13
+  /** Training docs sharing at least this many winnowing fingerprints
+    * with ANY benchmark doc are flagged contaminated. */
+  val DeconMinHits = 2
+
+  /** Benchmark decontamination — flag training documents whose k-gram
+    * winnowing fingerprints overlap the held-out eval split (standard
+    * pretraining-data hygiene: eval text that leaks into training data
+    * inflates benchmark scores). The eval split is derived
+    * deterministically (docID % [[DeconModulus]] == 0) so the gate
+    * needs no external benchmark file. Output per TRAINING doc:
+    * (docID, n_fp, n_hits, contaminated 0/1), n_hits = how many of the
+    * doc's (distinct) fingerprints appear anywhere in the eval split.
+    *
+    * Scale design: the benchmark is FIXED-size while the corpus grows,
+    * so the eval fingerprint set is distinct-reduced (a shuffle over
+    * the small split only) and broadcast; the corpus side then probes
+    * it with a broadcast LEFT SEMI join, and the only corpus-side
+    * shuffle is the per-doc count of HITS — rows proportional to the
+    * contamination actually found, not to corpus fingerprint volume.
+    * No collect: the eval set stays a broadcast relation end-to-end.
+    * Like [[clonePairs]], the plan re-derives [[fingerprintArrays]] on
+    * each branch (tokenize+winnow is the dominant per-pass cost); at
+    * corpus scale feed it a fingerprint table materialized once —
+    * the lineage is branch-for-branch identical. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    modulus: Int = DeconModulus, minHits: Int = DeconMinHits,
+                    dumpOracle: Boolean = false): DataFrame = {
+    val arrays = fingerprintArrays(spark, sfDir)
+    if (dumpOracle) graft.OracleSide.dump("fp_arrays_decon", arrays)
+    val isEval = col("docID") % modulus === 0
+    val evalFps = arrays.filter(isEval)
+      .select(explode(col("fps")).as("fp")).distinct()
+    val train = arrays.filter(!isEval)
+    val hits = train.select(col("docID"), explode(col("fps")).as("fp"))
+      .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      .groupBy(col("docID")).agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("docID"), size(col("fps")).cast("long").as("n_fp"))
+      .join(hits, Seq("docID"), "left")
+      .select(col("docID"), col("n_fp"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits)
+          .cast("long").as("contaminated"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[decontaminate]] over the materialized arrays. */
+  def decontaminateSql(modulus: Int = DeconModulus,
+                       minHits: Int = DeconMinHits): String =
+    s"""WITH a AS (
+       |  SELECT docID, fps FROM ${graft.OracleSide.glob("fp_arrays_decon")}
+       |),
+       |ev AS (
+       |  SELECT DISTINCT fp
+       |  FROM (SELECT unnest(fps) AS fp FROM a WHERE docID % $modulus = 0)
+       |),
+       |tr AS (SELECT docID, fps FROM a WHERE docID % $modulus <> 0),
+       |h AS (
+       |  SELECT t.docID, count(*) AS n_hits
+       |  FROM (SELECT docID, unnest(fps) AS fp FROM tr) t
+       |  JOIN ev USING (fp) GROUP BY 1
+       |)
+       |SELECT tr.docID,
+       |       CAST(len(tr.fps) AS BIGINT) AS n_fp,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) >= $minHits AS BIGINT) AS contaminated
+       |FROM tr LEFT JOIN h USING (docID) ORDER BY docID""".stripMargin
 }

@@ -267,6 +267,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"jaccard pairs ${jac.size}, clone pairs ${clo.size}, overlap ${(jac & clo).size}")
   }
 
+  test("decontaminate: brute-force parity on every training doc; eval side broadcast") {
+    import graft.functions.Analyzer
+    val out = TextStats.decontaminate(spark, dir)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Corpus.docs(spark, dir)
+      .select(col("docID"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fps = docs.map { case (id, c) =>
+      id -> TextStats.winnow(Analyzer.tokenize(c).toIndexedSeq).toSet
+    }.toMap
+    val evalSet = fps.collect {
+      case (id, s) if id % TextStats.DeconModulus == 0 => s
+    }.foldLeft(Set.empty[Long])(_ ++ _)
+    var contaminated = 0
+    for ((id, s) <- fps if id % TextStats.DeconModulus != 0) {
+      val (nFp, nHits, flag) = rows(id)
+      assert(nFp == s.size.toLong, s"doc $id n_fp")
+      assert(nHits == (s & evalSet).size.toLong, s"doc $id n_hits")
+      assert(flag == (if (nHits >= TextStats.DeconMinHits) 1L else 0L))
+      if (flag == 1L) contaminated += 1
+    }
+    assert(!rows.keySet.exists(_ % TextStats.DeconModulus == 0),
+      "eval docs must not appear in the training output")
+    assert(contaminated > 0,
+      "fixture has near-dup groups spanning the eval split — some doc must flag")
+    // the eval fingerprint set must reach the corpus probe as a broadcast
+    // (fixed-size benchmark vs growing corpus — never a shuffled join side)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval fp probe is not broadcast:\n$plan")
+  }
+
   test("doc xent: positive, finite, one row per tokenized doc") {
     val rows = TextStats.docXent(spark, dir).collect()
     assert(rows.length == 500)
