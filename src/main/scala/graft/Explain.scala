@@ -80,6 +80,13 @@ object Explain {
         "formulation would shuffle ~n rows per doc).",
       graft.operators.TextStats.repetitionStats(spark, sfDir))
 
+    show("decontaminate (benchmark overlap, broadcast eval probe)",
+      "Expect: the eval fingerprint set behind a BroadcastExchange into " +
+        "a LeftSemi BroadcastHashJoin on the corpus probe — the only " +
+        "post-probe hashpartitioning is the per-doc HITS count (rows ∝ " +
+        "contamination found, never corpus fingerprint volume).",
+      graft.operators.TextStats.decontaminate(spark, sfDir))
+
     show("brute-force BM25 oracle",
       "Expect: broadcast of the 1-row stats; shuffle joins tf⋈df⋈len; " +
         "window rank per query.",
