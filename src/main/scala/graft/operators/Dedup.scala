@@ -213,6 +213,11 @@ object Dedup {
     * of stars centered at component minima (both passes map a star to
     * itself); each round runs as two shuffle-bounded groupBy+join passes,
     * driver-paced only for the convergence probe. */
+  /** Convergence-probe ACTIONS of the most recent [[connectedComponents]]
+    * run on this JVM — the r3 shape fired two probe actions per round;
+    * the symmetric-difference probe fires exactly one (spec-asserted). */
+  @volatile var lastConvergenceProbes: Int = 0
+
   def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("a"), col("b"))
@@ -242,13 +247,28 @@ object Dedup {
       .localCheckpoint() // truncates the upstream (LSH) lineage too
     var rounds = 0
     var changed = true
+    var probes = 0
+    val sc = pairs.sparkSession.sparkContext
     while (changed) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      changed = next.except(cur).limit(1).count() > 0 ||
-        cur.except(next).limit(1).count() > 0
+      // single-ACTION convergence probe (VERDICT r3 #7): both sides are
+      // distinct, so a row lands in the symmetric difference iff its
+      // (a, b) group has exactly one member in next ∪all cur — one
+      // aggregation action instead of two except().limit(1).count()
+      // actions per round. Tagged so the spec's listener can isolate
+      // probe jobs from checkpoint/AQE jobs.
+      sc.setJobDescription("graft.cc.probe")
+      try {
+        changed = next.unionAll(cur)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") === 1)
+          .limit(1).count() > 0
+        probes += 1
+      } finally sc.setJobDescription(null)
       cur = next
       rounds += 1
     }
+    lastConvergenceProbes = probes
     val nodes = pairs.select(col("docA").as("docID"))
       .unionAll(pairs.select(col("docB").as("docID")))
       .distinct()

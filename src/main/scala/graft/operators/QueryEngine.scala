@@ -617,7 +617,7 @@ final class QueryEngine(
     sideBcCache.clear()
     localSegCache.clear()
     localSegPostings = 0L
-    localPool.shutdown()
+    if (localPoolInit) localPool.shutdown()
     normsBc.foreach(_.destroy())
     if (cachePostings) postingsByDir.values.foreach(_.unpersist(false))
   }
@@ -632,10 +632,16 @@ final class QueryEngine(
   private val localSegCache = mutable.LinkedHashMap.empty[String, Array[PostingSegment]]
   private var localSegPostings = 0L
 
-  /** Effective pool width for the parallel local path (0/1 = serial only). */
+  /** Effective pool width for the parallel local path (0/1 = serial only).
+    * Auto sizes from DRIVER cores, not defaultParallelism (ADVICE r3): on
+    * a real cluster defaultParallelism reflects total executor cores, and
+    * a 4-core driver fronting 512 executor cores would get a 32-thread
+    * pool running 8× oversubscribed — plus a pooled-path claim (and a
+    * cache budget) scaled to capacity the driver doesn't have. Cluster
+    * deployments wanting a wider pool set localWandThreads explicitly. */
   private val localThreads: Int =
     if (localWandThreads < 0)
-      math.min(spark.sparkContext.defaultParallelism, 32)
+      math.min(Runtime.getRuntime.availableProcessors(), 32)
     else localWandThreads
   /** Total-df ceiling of the pooled local path: per-thread serial budget
     * × pool width, so pooled wall time ≈ the serial crossover time. */
@@ -647,8 +653,13 @@ final class QueryEngine(
     4L * math.max(localWandUpTo, localParallelCap)
 
   /** Lazily-built pool backing the parallel local path; daemon threads so
-    * an unclosed engine never blocks JVM exit. */
-  @transient private lazy val localPool: java.util.concurrent.ExecutorService =
+    * an unclosed engine never blocks JVM exit. `localPoolInit` lets
+    * [[close]] skip pools that were never materialized (ADVICE r3: an
+    * unconditional shutdown() forced the lazy val to initialize a pool
+    * just to tear it down on engines that never took the pooled path). */
+  @transient @volatile private var localPoolInit = false
+  @transient private lazy val localPool: java.util.concurrent.ExecutorService = {
+    localPoolInit = true
     java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, localThreads),
       (r: Runnable) => {
@@ -656,6 +667,7 @@ final class QueryEngine(
         t.setDaemon(true)
         t
       })
+  }
 
   /** Fetch (cache-through) the full segment arrays of `terms`, one pruned
     * collect per index dir for the misses. Caller holds `synchronized`. */

@@ -295,9 +295,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture has near-dup groups spanning the eval split — some doc must flag")
     // the eval fingerprint set must reach the corpus probe as a broadcast
     // (fixed-size benchmark vs growing corpus — never a shuffled join side)
+    // the SPECIFIC shape, not "some broadcast join exists anywhere"
+    // (ADVICE r3: the final hits left join also broadcasts, so a generic
+    // assertion would still pass if the probe regressed to a shuffle):
+    // the eval probe must be a LeftSemi BroadcastHashJoin with the eval
+    // set on the BUILD side, and the corpus side must never be built
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"eval fp probe is not broadcast:\n$plan")
+    val semiJoins = plan.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      .toSeq
+    assert(semiJoins.nonEmpty, s"eval fp probe is not a LeftSemi broadcast join:\n$plan")
+    assert(semiJoins.forall(_.contains("BuildRight")),
+      s"eval fp set must be the broadcast build side:\n$plan")
   }
 
   test("doc xent: positive, finite, one row per tokenized doc") {
@@ -356,7 +365,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     // rounds; large-star/small-star must converge in O(log n)
     val n = 256
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("docA", "docB")
+    // probe budget (VERDICT r3 #7): exactly ONE symmetric-difference
+    // convergence ACTION per round (the r3 shape ran two except-count
+    // actions). Listener counts the probe-tagged Spark jobs: one action
+    // compiles to ≤3 AQE jobs (shuffle stage + limit + final), so the
+    // per-round tagged-job budget is 3 — half the r3 shape's 6.
+    val probeJobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+            "graft.cc.probe" == e.properties.getProperty("spark.job.description"))
+          probeJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
     val (labels, rounds) = Dedup.connectedComponents(chain)
+    org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+    spark.sparkContext.removeSparkListener(listener)
+    assert(Dedup.lastConvergenceProbes == rounds,
+      s"expected 1 probe action per round, saw ${Dedup.lastConvergenceProbes}/$rounds")
+    assert(probeJobs.get() > 0 && probeJobs.get() <= 3 * rounds,
+      s"expected ≤ ${3 * rounds} probe-tagged jobs, saw ${probeJobs.get()}")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == n)
     assert(got.forall(_._2 == 0L), "every chain node must label to the component min")
@@ -366,6 +394,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     val (l2, _) = Dedup.connectedComponents(two)
     val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
+  }
+
+  test("training set: skew-free dup representative (hot sha, no Window)") {
+    import spark.implicits._
+    // one viral content duplicated 20k× + distinct filler docs: the r3
+    // window-over-sha shape funneled all 20k rows into one task; the
+    // min_by groupBy must keep exactly the min-docID representative and
+    // plan WITHOUT any Window operator (VERDICT r3 #3)
+    val hot = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away to find a quiet place in the sun where it can rest " +
+      "for a while and think about the meaning of all these tokens here"
+    val docs = ((0L until 20000L).map(i => (i + 5L, "en", hot)) ++
+      (0L until 50L).map(i =>
+        (100000L + i, "en", s"unique filler document number $i with " +
+          s"assorted extra words alpha beta gamma delta epsilon zeta " +
+          s"eta theta iota kappa lambda mu nu xi omicron pi rho sigma")))
+      .toDF("docID", "lang", "content").repartition(8)
+    val out = TextStats.trainingSetOf(docs, minQuality = 0.0,
+      minTokens = 1L, maxTokens = 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"training_set must not window over sha:\n$plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // exactly one representative for the hot group — the min docID (5)
+    assert(rows.count(_._1 < 100000L) == 1)
+    assert(rows.exists(_._1 == 5L), "hot-group representative must be min docID")
+    assert(rows.length == 51)
   }
 
   test("training set: one-pass selection == composed standalone gates, strict subset") {
