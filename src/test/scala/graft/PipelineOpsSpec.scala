@@ -396,6 +396,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
   }
 
+  test("fingerprint artifact: ONE winnow pass shared by all three consumers") {
+    // VERDICT r3 #2: doc_fingerprints / clone_pairs / decontaminate must
+    // consume the materialized artifact, not each re-run tokenize+winnow.
+    // Fresh artifact dir → exactly one compute pass across the composed
+    // run; a second composed run resumes with ZERO passes.
+    val base = TextStats.fingerprintTableDir(dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    TextStats.winnowPasses.set(0L)
+    val fp = TextStats.fingerprints(spark, dir).collect()
+    val cp = TextStats.clonePairs(spark, dir).collect()
+    val dc = TextStats.decontaminate(spark, dir).collect()
+    assert(fp.nonEmpty && cp.nonEmpty && dc.nonEmpty)
+    assert(TextStats.winnowPasses.get() == 1L,
+      s"expected exactly one tokenize+winnow pass, saw ${TextStats.winnowPasses.get()}")
+    TextStats.fingerprints(spark, dir).collect()
+    TextStats.decontaminate(spark, dir).collect()
+    assert(TextStats.winnowPasses.get() == 1L,
+      "resumed artifact must not recompute the winnow pass")
+    // the artifact consumers must agree with the direct compute
+    val direct = TextStats.fingerprintArrays(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val table = TextStats.fingerprintTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(table == direct)
+  }
+
   test("training set: skew-free dup representative (hot sha, no Window)") {
     import spark.implicits._
     // one viral content duplicated 20k× + distinct filler docs: the r3
