@@ -140,6 +140,34 @@ object QueryEngine {
     }
   }
 
+  /** Owned docID intervals of a scan task holding `mySegs` driver-term
+    * segments, given the term's GLOBAL sorted range directory
+    * (`mins`/`maxs`, pairwise disjoint): each held segment i contributes
+    * (maxs(i−1), maxs(i)] — i.e. the segment's own range plus the gap
+    * BEFORE it; the holder of segment 0 starts at 0 and the holder of the
+    * last extends to ∞. Contiguous held indices merge into one interval
+    * (fewer per-task kernel invocations). Intervals are half-open
+    * [lo, hi); across all tasks they tile [0, ∞) exactly once. */
+  def ownedIntervals(mySegs: Array[PostingSegment],
+                     mins: Array[Long], maxs: Array[Long]): Seq[(Long, Long)] = {
+    val idxs = mySegs.map { s =>
+      val i = java.util.Arrays.binarySearch(mins, s.minDoc)
+      require(i >= 0, s"segment ${s.term}@${s.minDoc} absent from range directory")
+      i
+    }.sorted
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < idxs.length) {
+      var j = i
+      while (j + 1 < idxs.length && idxs(j + 1) == idxs(j) + 1) j += 1
+      val lo = if (idxs(i) == 0) 0L else maxs(idxs(i) - 1) + 1
+      val hi = if (idxs(j) == mins.length - 1) Long.MaxValue else maxs(idxs(j)) + 1
+      out += ((lo, hi))
+      i = j + 1
+    }
+    out.result()
+  }
+
   // --------------------------------------------------------- range task
 
   final case class TermCtx(term: String, df: Long, idf: Double)
@@ -610,11 +638,40 @@ final class QueryEngine(
     }
   }
 
+  /** Session cache of the driver term's GLOBAL segment-range directory
+    * (sorted parallel minDoc/maxDoc arrays) — the metadata that lets OR
+    * scan tasks own docID gaps (docs without the driver term). One
+    * two-column pruned collect per driver term, then cached: steady-state
+    * OR latency pays zero extra jobs. Bounded LRU like sideBcCache. */
+  private val rangeDirCache =
+    mutable.LinkedHashMap.empty[String, (Array[Long], Array[Long])]
+
+  private def driverRangeDir(driverTerm: String,
+                             perDir: Seq[Seq[DictEntry]]): (Array[Long], Array[Long]) =
+    synchronized {
+      rangeDirCache.remove(driverTerm) match {
+        case Some(v) => rangeDirCache.put(driverTerm, v); v
+        case None =>
+          val rows = indexDirs.zip(perDir).flatMap { case (dir, es) =>
+            val de = es.filter(_.term == driverTerm)
+            if (de.isEmpty) Nil
+            else segmentsOf(dir, Seq(driverTerm), de.map(_.bucket).distinct)
+              .select(col("minDoc"), col("maxDoc")).as[(Long, Long)]
+              .collect().toSeq
+          }.sortBy(_._1)
+          val v = (rows.map(_._1).toArray, rows.map(_._2).toArray)
+          if (rangeDirCache.size >= 256) rangeDirCache.remove(rangeDirCache.head._1)
+          rangeDirCache.put(driverTerm, v)
+          v
+      }
+    }
+
   /** Release every broadcast this session created (norms + cached side
     * segments). The engine must not be queried afterwards. */
   def close(): Unit = synchronized {
     sideBcCache.values.foreach(_.destroy())
     sideBcCache.clear()
+    rangeDirCache.clear()
     localSegCache.clear()
     localSegPostings = 0L
     if (localPoolInit) localPool.shutdown()
@@ -815,16 +872,28 @@ final class QueryEngine(
     // broadcast. Each scan task runs WAND over its driver segments'
     // docID ranges; ranges are disjoint across tasks, so the union of
     // per-task top-k feeds one global TakeOrderedAndProject.
-    // Preconditions: broadcast norms available; OR mode only when a
-    // single term is present (disjunction needs ALL terms co-located).
+    // Precondition: broadcast norms available.
+    //
+    // OR mode (multi-term) rides the SAME scan (VERDICT r3 #5 — it used
+    // to fall back to the per-query segment shuffle): disjunction must
+    // also score docs that DON'T contain the driver term, so docID-range
+    // ownership can't stay implicit in the driver postings. Each task
+    // instead derives explicit owned intervals from the GLOBAL range
+    // directory of the driver term's segments ([[driverRangeDir]] —
+    // per-term metadata, cached across queries): the owner of global
+    // segment i owns (maxDoc(i−1), maxDoc(i)]; the owner of segment 0
+    // also owns [0, minDoc(0)) and the owner of the last also owns
+    // (maxDoc(last), ∞). Segment ranges are pairwise disjoint (build
+    // invariant), so the intervals tile the docID space exactly once
+    // across tasks and the union of per-interval top-k stays a correct
+    // global candidate set.
     //
     // RANGE path (fallback; also the 10^12-scale plan for norm tables
     // that outgrow broadcast): shard the docID space, shuffle segments
     // (and, beyond the norms cap, cogroup norms) to range tasks.
     val driverTerm = termCtx.maxBy(_.df).term
     val sideDfSum = termCtx.filter(_.term != driverTerm).map(_.df).sum
-    val scanPath = normsBc.isDefined &&
-      (!orMode || termCtx.length == 1) && sideDfSum <= broadcastPostingsUpTo
+    val scanPath = normsBc.isDefined && sideDfSum <= broadcastPostingsUpTo
 
     val local: org.apache.spark.sql.Dataset[ScoredDoc] =
     if (scanPath) {
@@ -838,6 +907,11 @@ final class QueryEngine(
             se.map(_.bucket).distinct).coalesce(para).collect().toSeq
         }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
       }
+      // global driver-segment range directory — OR multi-term only (AND
+      // matches always contain the driver term, so ownership is implicit)
+      val rangeDir: (Array[Long], Array[Long]) =
+        if (orMode && termCtx.length > 1) driverRangeDir(driverTerm, perDir)
+        else null
       // coalesce: the pruned read otherwise yields one micro-task per
       // index file — scheduling dominates at interactive latency
       val driverSegs = indexDirs.zip(perDir)
@@ -858,7 +932,12 @@ final class QueryEngine(
         else {
           val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
           val norms = bc.value
-          wf(byTerm, tc, norms.apply, av, 0L, Long.MaxValue, kk, rnd).iterator
+          if (rangeDir == null)
+            wf(byTerm, tc, norms.apply, av, 0L, Long.MaxValue, kk, rnd).iterator
+          else
+            QueryEngine.ownedIntervals(mySegs, rangeDir._1, rangeDir._2)
+              .iterator.flatMap { case (lo, hi) =>
+                wf(byTerm, tc, norms.apply, av, lo, hi, kk, rnd) }
         }
       }
     } else {

@@ -123,6 +123,58 @@ class IndexQuerySpec extends AnyFunSuite {
     pooled.close(); dist.close()
   }
 
+  test("OR multi-term scan path: zero per-query Exchange, identical to range path") {
+    built
+    // VERDICT r3 #5: multi-term OR used to force the per-query segment
+    // shuffle. It now rides the scan path with explicit docID-range
+    // ownership from the driver term's global range directory.
+    val scan = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val range = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((_, qtext) <- Bm25.QuerySet ++ Seq(
+        ("qx1", "hash join window"), ("qx2", "window zzzzunknown"))) {
+      assert(collectTopK(scan.topKOr(qtext)) == collectTopK(range.topKOr(qtext)),
+        s"OR '$qtext'")
+    }
+    // plan shape: pruned postings scan → WAND mapPartitions → single
+    // TakeOrderedAndProject; NO Exchange anywhere in a 2-term OR query
+    val plan = scan.topKOr("hash join").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"multi-term OR scan path must not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    scan.close(); range.close()
+  }
+
+  test("ownedIntervals: tasks tile the docID space exactly once") {
+    built
+    import spark.implicits._
+    // global directory of a salted (multi-segment) term from the real
+    // index; any partitioning of its segments must tile [0, ∞) once
+    val segs = spark.read.parquet(s"$indexDir/postings")
+      .select(col("term"), col("minDoc"), col("maxDoc"))
+      .as[(String, Long, Long)].collect()
+    val (term, ss) = segs.groupBy(_._1).maxBy(_._2.length)
+    assert(ss.length >= 3, s"need a multi-segment term, best was $term")
+    val sorted = ss.sortBy(_._2)
+    val mins = sorted.map(_._2)
+    val maxs = sorted.map(_._3)
+    def fakeSeg(min: Long): Index.PostingSegment =
+      Index.PostingSegment(term, 0, 0L, min, min, 1,
+        Array.emptyByteArray, Array.emptyByteArray, Array(min), Array(1L),
+        Array(1L), Array(0), Array(0), Array.emptyByteArray, Array.empty[Int])
+    // split the segments across 3 "tasks" in an interleaved pattern
+    val tasks = sorted.indices.groupBy(_ % 3).values.toSeq
+      .map(_.map(i => fakeSeg(mins(i))).toArray)
+    val intervals = tasks.flatMap(t => QueryEngine.ownedIntervals(t, mins, maxs))
+      .sortBy(_._1)
+    assert(intervals.head._1 == 0L)
+    assert(intervals.last._2 == Long.MaxValue)
+    intervals.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 == b._1, s"gap or overlap between $a and $b")
+      case _ =>
+    }
+  }
+
   test("OR mode: rank-identity vs exact disjunctive oracle (every query)") {
     built
     for ((qid, qtext) <- Bm25.QuerySet if qtext != "zzzzunknown") {
