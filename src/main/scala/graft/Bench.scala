@@ -81,6 +81,30 @@ object Bench {
     out
   }
 
+  /** Pipeline-tier corpus (VERDICT r3 #6): replicated like
+    * [[prepareCorpus]] but with every token suffixed by the replica id
+    * ((?i) so uppercase runs rename too) — replicas are NOT near-dups of
+    * each other, so LSH candidate volume stays ∝ the true near-dup pairs
+    * inside each replica (a verbatim replication would make every
+    * dup-group all-pairs quadratic) and the measured throughput is the
+    * realistic mostly-unique-corpus shape. */
+  private def preparePipeCorpus(sfDir: String, repl: Int): String = {
+    val out = s"/tmp/graft/bench_pipe_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_x$repl"
+    if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
+      val spark = newSession(8)
+      val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      val reps = (0 until repl).map { i =>
+        src.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(?i)([a-z0-9]+)", "$1x" + i))
+      }.reduce(_ unionAll _)
+      reps.repartition(64).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      spark.stop()
+    }
+    out
+  }
+
   // ---------------------------------------------- host-contention gauges
 
   /** (busyJiffies, totalJiffies, stealJiffies) of the WHOLE host from
@@ -116,7 +140,7 @@ object Bench {
     * small raw corpus, then the timed build + query passes. Prints one
     * JSON line consumed by the orchestrator. */
   private def childMain(cpus: Int, corpusDir: String, warmDir: String,
-                        phrase: Boolean): Unit = {
+                        phrase: Boolean, pipeDir: String): Unit = {
     val spark = newSession(cpus)
     // build partitioning sized to data, identical at every level
     val params = BuildParams(partitions = 128)
@@ -190,6 +214,26 @@ object Bench {
         math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1).max(0))
       f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"""
     }
+
+    // pipeline-tier throughput (VERDICT r3 #6): one timed minhash-LSH
+    // dedup pass and one timed fingerprint-artifact + decontaminate pass
+    // over the token-perturbed replicated corpus, reported as docs/s
+    // next to the build numbers (peak child only)
+    val pipeJson = if (pipeDir.isEmpty) "" else {
+      import graft.operators.{Dedup, TextStats}
+      val pipeDocs = spark.read.parquet(s"$pipeDir/documents.parquet").count()
+      val td = System.nanoTime()
+      val pairs = Dedup.minhashLshDedup(spark, pipeDir).count()
+      val dedupSec = (System.nanoTime() - td) / 1e9
+      val fpDir = s"/dev/shm/graft/bench_fps_c$cpus"
+      new Directory(new java.io.File(fpDir)).deleteRecursively()
+      val tc2 = System.nanoTime()
+      val arrays = TextStats.fingerprintTable(spark, pipeDir, fpDir)
+      val flagged = TextStats.decontaminate(spark, pipeDir, arraysIn = arrays)
+        .filter(col("contaminated") === 1).count()
+      val deconSec = (System.nanoTime() - tc2) / 1e9
+      f""""pipe_docs":$pipeDocs,"dedup_sec":$dedupSec%.3f,"dedup_docs_per_sec":${pipeDocs / dedupSec}%.1f,"dedup_pairs":$pairs,"decon_sec":$deconSec%.3f,"decon_docs_per_sec":${pipeDocs / deconSec}%.1f,"decon_flagged":$flagged,"""
+    }
     spark.stop()
     val lat = perQuery.map(_._2).sorted
     def pct(p: Double) =
@@ -197,12 +241,13 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$phraseJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$phraseJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
   private def runChild(cpus: Int, corpusDir: String, warmDir: String,
-                       mem: String, phrase: Boolean = false): Map[String, String] = {
+                       mem: String, phrase: Boolean = false,
+                       pipeDir: String = ""): Map[String, String] = {
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -217,7 +262,8 @@ object Bench {
       "-Dspark.ui.enabled=false") ++ opens ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench",
         "--level", cpus.toString, "--corpus", corpusDir, "--warm", warmDir,
-        "--phrase", if (phrase) "1" else "0")
+        "--phrase", if (phrase) "1" else "0",
+        "--pipe", if (pipeDir.isEmpty) "-" else pipeDir)
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(
       line => { if (line.startsWith("GRAFT_CHILD")) out.append(line.drop("GRAFT_CHILD".length)) },
@@ -237,7 +283,8 @@ object Bench {
       case s if s.exists(_.headOption.contains("--level")) =>
         val m = args.sliding(2, 2).map { case Array(k, v) => k -> v }.toMap
         childMain(m("--level").toInt, m("--corpus"), m("--warm"),
-          m.getOrElse("--phrase", "0") == "1")
+          m.getOrElse("--phrase", "0") == "1",
+          m.get("--pipe").filter(_ != "-").getOrElse(""))
         return
       case _ =>
     }
@@ -285,10 +332,18 @@ object Bench {
         i += 1
       }
     }
+    // pipeline-tier corpus: smaller replication (dedup/decon are
+    // shuffle-heavier per doc than the index build); SPARK_GRAFT_PIPE=0
+    // skips the pass, SPARK_GRAFT_PIPE_REPL sizes it
+    val pipeDir =
+      if (sys.env.getOrElse("SPARK_GRAFT_PIPE", "1") == "0") ""
+      else preparePipeCorpus(sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_PIPE_REPL", "100").toInt)
     val main = runChild(cpus, corpusDir, sfDir, mem,
       // SPARK_GRAFT_PHRASE=0 skips the positional build + phrase pass
       // (iteration aid; the default full run always measures it)
-      phrase = sys.env.getOrElse("SPARK_GRAFT_PHRASE", "1") == "1")
+      phrase = sys.env.getOrElse("SPARK_GRAFT_PHRASE", "1") == "1",
+      pipeDir = pipeDir)
     val n4 = n4opt.getOrElse(main)
 
     val buildSec = main("build_sec").toDouble
@@ -313,6 +368,8 @@ object Bench {
     }.getOrElse("")
     val counters = Seq("host_ext_busy_frac", "host_steal_frac", "loadavg",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
+        "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
+        "decon_sec", "decon_docs_per_sec", "decon_flagged",
         "build_postings", "build_segments", "build_encoded_bytes",
         "build_input_bytes", "build_shuffle_write_bytes")
       .flatMap(k => main.get(k).map(v => s""""$k":$v""")).mkString(",")

@@ -96,7 +96,7 @@ object Explain {
       "Expect: signatures as ONE hash-agg of 128 partial mins (map-side " +
         "combine), band explode, self-equi-join on (band, bh).",
       Dedup.lshCandidates(Dedup.minhashSignatures(
-        Dedup.shingles(Corpus.docs(spark, sfDir)))))
+        Dedup.shingleHashes(Corpus.docs(spark, sfDir)))))
 
     show("ANN brute cosine top-k",
       "Expect: BroadcastNestedLoopJoin (tiny query side broadcast), " +

@@ -36,6 +36,39 @@ object Native {
   /** Codegen'd per-posting position packing (see [[EncodePositions]]). */
   def encodePositions(c: Column): Column =
     ColumnShim.column(EncodePositions(ColumnShim.expression(c)))
+
+  /** Codegen'd wraparound `a·x + b` hash mix (see [[MixHash]]). */
+  def mixHash(c: Column, a: Long, b: Long): Column =
+    ColumnShim.column(MixHash(ColumnShim.expression(c), a, b))
+}
+
+/** Wraparound-multiply hash mix `a·x + b (mod 2⁶⁴)` — the classic
+  * universal-family permutation for MinHash (`a` odd ⇒ bijection). A
+  * Column `*` would raise under ANSI overflow checking; this expression
+  * compiles to one Java multiply-add (silent wraparound is exactly the
+  * mod-2⁶⁴ semantics wanted), keeping the 128-function signature
+  * aggregation at ~1 cycle per function per row instead of a full
+  * xxhash64 each. */
+case class MixHash(child: Expression, a: Long, b: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    a * input.asInstanceOf[Long] + b
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${a}L * $c + ${b}L;")
+
+  override protected def withNewChildInternal(newChild: Expression): MixHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_mix_hash"
 }
 
 /** Static kernel behind [[EncodePositions]] (called from generated code). */

@@ -52,6 +52,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct (docID, sh) shingle HASHES — [[shingles]] with each
+    * shingle collapsed to xxhash64 IN THE SCAN PROJECTION, before the
+    * distinct. The LSH pipeline only ever compares shingles for
+    * identity (signatures, intersection counts, set sizes), so the
+    * 8-byte hash replaces the ~10×-wider string in the dedup operator's
+    * every shuffle: the distinct, the two verify joins and the size agg
+    * all ship longs. Set identities are preserved modulo 64-bit
+    * collisions (birthday bound ~(n/doc)²/2⁶⁵ per doc — negligible);
+    * [[bruteJaccard]] keeps the exact string formulation as the
+    * small-scale oracle, and the LSH==brute fixture gate would surface
+    * any drift. */
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    val toks = Analyzer.tokensCol(col("content"))
+    docs.select(col("docID"), toks.as("toks"))
+      .withColumn("sh",
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - ShingleSize),
+          i => xxhash64(concat_ws(" ",
+            (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*)))))
+      .filter(size(col("toks")) >= ShingleSize)
+      .select(col("docID"), col("sh"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------ exact
 
   /** (docID, content_sha, rep_docID, is_dup): every row keyed to its
@@ -123,11 +147,24 @@ object Dedup {
 
   // --------------------------------------------------- MinHash + LSH
 
-  /** MinHash signatures: NumHashes columnar min-aggregations over
-    * xxhash64(seed_i, shingle) — map-side partial agg, one shuffle. */
+  /** MinHash signatures over (docID, sh) shingle hashes: NumHashes
+    * columnar min-aggregations — map-side partial agg, one shuffle. Each
+    * of the 128 hash functions is a bijective wraparound multiply-add
+    * `a_i·sh + b_i (mod 2⁶⁴)` of the base hash (native [[Native.mixHash]]
+    * — one Java multiply-add per function per row) — the classic "one
+    * hash + universal-family permutations" MinHash. The r3 shape ran 128
+    * independent xxhash64 passes over the ~30-byte shingle TEXT per row
+    * — measured as the dominant cost of the whole dedup operator
+    * (signature stage 7.5 s of an 18.6 s pipeline at 100k docs); the
+    * mixed family on a collision-free base hash preserves the MinHash
+    * collision property. Constants: odd multiples of the golden-ratio /
+    * splitmix64 mixing constants (public domain). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins: Seq[Column] =
-      (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val mins: Seq[Column] = (0 until NumHashes).map { i =>
+      val a = (0x9E3779B97F4A7C15L * (2L * i + 1L)) | 1L
+      val b = 0xBF58476D1CE4E5B9L * (i + 1L)
+      min(Native.mixHash(col("sh"), a, b)).as(s"h$i")
+    }
     sh.groupBy(col("docID")).agg(mins.head, mins.tail: _*)
   }
 
@@ -160,12 +197,12 @@ object Dedup {
     * document never materializes its whole shingle set in a single row
     * (the round-1 collect_set verify blew up row size on long docs). */
   def minhashLshDedup(spark: SparkSession, sfDir: String, tau: Double = JaccardTau): DataFrame = {
-    val sh = shingles(Corpus.docs(spark, sfDir)).cache()
+    val sh = shingleHashes(Corpus.docs(spark, sfDir)).cache()
     val cands = lshCandidates(minhashSignatures(sh))
     val sizes = sh.groupBy(col("docID")).agg(count(lit(1)).as("sz"))
     val inter = cands
-      .join(sh.select(col("docID").as("docA"), col("shingle")), "docA")
-      .join(sh.select(col("docID").as("docB"), col("shingle")), Seq("docB", "shingle"))
+      .join(sh.select(col("docID").as("docA"), col("sh")), "docA")
+      .join(sh.select(col("docID").as("docB"), col("sh")), Seq("docB", "sh"))
       .groupBy(col("docA"), col("docB"))
       .agg(count(lit(1)).as("inter"))
     val out = inter
