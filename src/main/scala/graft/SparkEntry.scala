@@ -28,6 +28,18 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAll(orMode = orMode)
   }
 
+  /** Faceted retrieval: the full query set restricted to one lang facet
+    * (scoring stats stay corpus-global; the gate applies inside the WAND
+    * kernel, before top-k pruning — see QueryEngine.topKFiltered). */
+  def indexedTopKFiltered(spark: SparkSession, sfDir: String,
+                          lang: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    val allowed = Corpus.docs(spark, sfDir)
+      .filter(col("lang") === lang).select(col("docID"))
+    new QueryEngine(spark, Seq(indexDir)).topKAllFiltered(allowed)
+  }
+
   /** Phrase queries need positions: a separate positional index dir. */
   def indexedPhraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -73,6 +85,11 @@ object SparkEntry {
     // -- disjunctive (OR) BM25: brute-force oracle + WAND-pruned engine
     "bm25_topk_or_oracle" -> ((s, dir) => Bm25.oracleTopKOr(s, dir)),
     "bm25_topk_or_indexed" -> ((s, dir) => indexedTopK(s, dir, orMode = true)),
+
+    // -- faceted BM25: lang-filtered result set, corpus-global stats
+    "bm25_topk_filtered_oracle" -> ((s, dir) =>
+      Bm25.oracleTopK(s, dir, langFilter = "de")),
+    "bm25_topk_filtered" -> ((s, dir) => indexedTopKFiltered(s, dir, "de")),
 
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
@@ -178,6 +195,8 @@ object SparkEntry {
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
     "bm25_topk_or_oracle" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
+    "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),
+    "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
 

@@ -137,13 +137,21 @@ object Bm25 {
     * Implementation: per query, pivot per-term contributions into columns
     * and add them in ascending-term order — a fixed-association sum, and
     * the pivot doubles as the AND filter (all columns non-null).
+    *
+    * `langFilter` (faceted retrieval twin): restrict the RESULT SET to
+    * docs of that lang; scoring stats stay corpus-global (the filter
+    * selects candidates, it does not change the ranking model).
     */
-  def oracleTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+  def oracleTopK(spark: SparkSession, sfDir: String, k: Int = K,
+                 langFilter: String = null): DataFrame = {
     val docs   = Corpus.docs(spark, sfDir)
     val tf     = termFreq(docs).cache()
     val doclen = docLengths(tf)
     val stats  = corpusStats(doclen)
     val df     = docFreq(tf)
+    val allowed =
+      if (langFilter == null) null
+      else docs.filter(col("lang") === langFilter).select(col("docID"))
 
     val scored = tf
       .join(df, "term")
@@ -163,7 +171,8 @@ object Bm25 {
       val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
       // fixed left-to-right association: ((c1 + c2) + c3) ...
       val score = terms.map(t => col(t)).reduce(_ + _)
-      pivoted
+      (if (allowed == null) pivoted
+       else pivoted.join(broadcast(allowed), Seq("docID"), "left_semi"))
         .filter(allPresent)
         .withColumn("score", round(score, 4))
         .withColumn("rank",
@@ -370,7 +379,7 @@ object Bm25 {
   /** ANSI SQL (DuckDB dialect) twin of [[oracleTopK]], generated from the
     * same QuerySet so both sides share one source of truth. Table name
     * `documents` = the driver-registered parquet. */
-  def oracleSqlTopK(k: Int = K): String = {
+  def oracleSqlTopK(k: Int = K, langFilter: String = null): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
@@ -401,12 +410,15 @@ object Bm25 {
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val langPred =
+        if (langFilter == null) ""
+        else s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$langFilter')"
       s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
          |  FROM (
          |    SELECT docID, $cs
-         |    FROM scored WHERE term IN ($inList)
+         |    FROM scored WHERE term IN ($inList)$langPred
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )

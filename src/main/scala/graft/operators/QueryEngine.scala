@@ -188,7 +188,7 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, null)
+      rounded, null, null)
 
   /** Exact-phrase variant: conjunctive WAND whose aligned candidates must
     * additionally contain the phrase tokens at CONSECUTIVE positions
@@ -204,7 +204,24 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, phraseSeq)
+      rounded, phraseSeq, null)
+
+  /** Kernel factory for every (AND/OR/phrase) × (gated/ungated) shape —
+    * one 8-arg function the physical paths dispatch on. `gate` (may be
+    * null = unfiltered) restricts candidates to allowed docIDs at the
+    * aligned candidate, BEFORE scoring and heap entry, so filtered top-k
+    * is exact (a post-filter of an unfiltered top-k would lose filtered
+    * docs ranked below the unfiltered k). Pruning bounds stay admissible:
+    * the gate only REMOVES candidates. */
+  def kernel(phraseSeq: Array[String], orMode: Boolean, gate: Long => Boolean):
+      (Map[String, Array[PostingSegment]], Array[TermCtx],
+       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
+    if (orMode)
+      (segs, ts, lenOf, av, lo, hi, k, rnd) =>
+        disjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, gate)
+    else
+      (segs, ts, lenOf, av, lo, hi, k, rnd) =>
+        conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, phraseSeq, gate)
 
   /** Does any occurrence of the full phrase start at some position p?
     * byTerm maps each distinct phrase term to its (sorted) positions in
@@ -234,7 +251,8 @@ object QueryEngine {
       avgdl: Double,
       lo: Long, hi: Long, k: Int,
       rounded: Boolean,
-      phraseSeq: Array[String]): Seq[ScoredDoc] = {
+      phraseSeq: Array[String],
+      allowed: Long => Boolean): Seq[ScoredDoc] = {
     val n = termsSorted.length
     if (n == 0 || segsByTerm.size < n) return Nil
     val needPos = phraseSeq != null
@@ -289,6 +307,9 @@ object QueryEngine {
           // no doc in (candidate, minLast] can beat the threshold
           val skipTo = math.max(candidate + 1, minLast + 1)
           iters(order(0)).advance(skipTo)
+        } else if (allowed != null && !allowed(candidate)) {
+          // filtered out — never scored, never enters the heap
+          iters(order(0)).advance(candidate + 1)
         } else if (phraseSeq != null && !phraseMatch(
             termsSorted.iterator.zipWithIndex
               .map { case (tc, ti) => tc.term -> iters(ti).positions }.toMap,
@@ -344,7 +365,18 @@ object QueryEngine {
       lenOf: Long => Long,
       avgdl: Double,
       lo: Long, hi: Long, k: Int,
-      rounded: Boolean): Seq[ScoredDoc] = {
+      rounded: Boolean): Seq[ScoredDoc] =
+    disjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
+      rounded, null)
+
+  private def disjunctiveRange(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, k: Int,
+      rounded: Boolean,
+      allowed: Long => Boolean): Seq[ScoredDoc] = {
     val present = termsSorted.filter(tc => segsByTerm.contains(tc.term))
     val n = present.length
     if (n == 0) return Nil
@@ -421,8 +453,10 @@ object QueryEngine {
                 bub += present(bi).idf * it.blockMaxQ
               bi += 1
             }
-            if (heap.size >= k && pad(bub) < threshold) {
-              // cannot enter top-k: skip past pivotDoc on matching iterators
+            if ((heap.size >= k && pad(bub) < threshold) ||
+                (allowed != null && !allowed(pivotDoc))) {
+              // cannot enter top-k (or gated out by the filter): skip
+              // past pivotDoc on matching iterators
               var m = 0
               while (m < n) {
                 val it = iters(m)
@@ -523,7 +557,16 @@ final class QueryEngine(
     // total-df ceiling of the pooled path; -1 = auto
     // (localWandUpTo × threads, i.e. pooled wall time ≈ the measured
     // serial crossover). Settable directly for tests/tuning.
-    localWandParallelUpTo: Long = -1L) extends Serializable {
+    localWandParallelUpTo: Long = -1L,
+    // Filtered retrieval (topKFiltered): max allowed-set (or complement)
+    // size shipped as a sorted-array broadcast gate into the WAND
+    // kernels. Selective filters (the common case) broadcast the allowed
+    // IDs; near-universal filters broadcast the smaller COMPLEMENT with
+    // a negated gate; a filter too large on both sides falls back to the
+    // exact score-all + semi-join plan (no top-k pruning — shuffle ∝
+    // matching docs, the honest distributed cost of an unselective
+    // filter over an unselective query).
+    filterBroadcastUpTo: Int = 4_000_000) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
@@ -666,11 +709,89 @@ final class QueryEngine(
       }
     }
 
+  /** Bounded cache of filter-gate broadcasts keyed by CONTENT (hash +
+    * full-array equality check — a hash collision silently reusing the
+    * wrong filter would be a correctness bug, so collisions fall back to
+    * a fresh uncached broadcast). Facet filters repeat across queries
+    * (lang = 'x', repo = 'y'), so steady-state filtered queries reship
+    * nothing. Eviction bounds total RETAINED ids, not entry count — one
+    * cap-sized filter must not pin 32 cap-sized arrays. */
+  private val gateBcCache = mutable.LinkedHashMap.empty[
+    Int, (Array[Long], org.apache.spark.broadcast.Broadcast[Array[Long]])]
+  private var gateCacheIds = 0L
+  private val gateCacheMaxIds = 8_000_000L
+
+  private def gateBroadcast(arr: Array[Long]):
+      org.apache.spark.broadcast.Broadcast[Array[Long]] = synchronized {
+    val h = java.util.Arrays.hashCode(arr)
+    gateBcCache.remove(h) match {
+      case Some((a, b)) if java.util.Arrays.equals(a, arr) =>
+        gateBcCache.put(h, (a, b)); b // LRU touch
+      case Some(other) => // collision: keep resident entry, don't cache
+        gateBcCache.put(h, other)
+        spark.sparkContext.broadcast(arr)
+      case None =>
+        while (gateBcCache.nonEmpty && gateCacheIds + arr.length > gateCacheMaxIds) {
+          val (k0, (a0, b0)) = gateBcCache.head
+          gateBcCache.remove(k0)
+          gateCacheIds -= a0.length
+          b0.unpersist(false) // lazy frames may still hold it (see sideBcCache)
+        }
+        val b = spark.sparkContext.broadcast(arr)
+        gateBcCache.put(h, (arr, b))
+        gateCacheIds += arr.length
+        b
+    }
+  }
+
+  /** Resolve a caller-supplied allowed-docID frame into one of the three
+    * filter shapes, cheapest first:
+    *   1. allowed set ≤ cap → broadcast gate over the sorted allowed ids;
+    *   2. complement ≤ cap → broadcast NEGATED gate over the sorted
+    *      disallowed ids (near-universal filters, e.g. lang != rare);
+    *   3. both sides over cap → exact score-all + semi-join postFilter.
+    * Returns (gateBc, negate, postFilter); exactly one of gateBc /
+    * postFilter is non-null. */
+  private def resolveFilter(allowedDocs: DataFrame):
+      (org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean, DataFrame) = {
+    val ids = allowedDocs.select(col("docID").cast("long").as("docID")).distinct()
+    val cap = filterBroadcastUpTo
+    val take = ids.as[Long].take(cap + 1)
+    if (take.length <= cap) {
+      java.util.Arrays.sort(take)
+      (gateBroadcast(take), false, null)
+    } else {
+      val dis = allDocStats.map(_.docID).toDF("docID")
+        .except(ids).as[Long].take(cap + 1)
+      if (dis.length <= cap) {
+        java.util.Arrays.sort(dis)
+        (gateBroadcast(dis), true, null)
+      } else (null, false, ids)
+    }
+  }
+
+  /** Filtered top-k: BM25 top-k restricted to `allowedDocs` (any frame
+    * with a docID column — e.g. `Corpus.docs(...).filter(lang === "de")
+    * .select("docID")`). Scoring statistics (idf, avgdl) stay
+    * CORPUS-GLOBAL — the filter restricts the result set, not the
+    * ranking model (standard faceted-search semantics, and the only
+    * semantics that needs no per-filter stat rebuild). Exact: the gate
+    * applies at the WAND candidate, before top-k pruning. */
+  def topKFiltered(qtext: String, allowedDocs: DataFrame, k: Int = Bm25.K,
+                   rounded: Boolean = false, orMode: Boolean = false): DataFrame = {
+    val (g, neg, post) = resolveFilter(allowedDocs)
+    topKImpl(qtext, k, rounded, orMode,
+      gateBc = g, gateNegate = neg, postFilter = post)
+  }
+
   /** Release every broadcast this session created (norms + cached side
-    * segments). The engine must not be queried afterwards. */
+    * segments + filter gates). The engine must not be queried afterwards. */
   def close(): Unit = synchronized {
     sideBcCache.values.foreach(_.destroy())
     sideBcCache.clear()
+    gateBcCache.values.foreach(_._2.destroy())
+    gateBcCache.clear()
+    gateCacheIds = 0L
     rangeDirCache.clear()
     localSegCache.clear()
     localSegPostings = 0L
@@ -791,7 +912,16 @@ final class QueryEngine(
     topKImpl(qtext, k, rounded, orMode = false, phraseMode = true)
 
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
-                       orMode: Boolean, phraseMode: Boolean = false): DataFrame = {
+                       orMode: Boolean, phraseMode: Boolean = false,
+                       // sorted allowed (or, negated, DISALLOWED) docIDs
+                       // — the broadcast filter gate (topKFiltered)
+                       gateBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null,
+                       gateNegate: Boolean = false,
+                       // beyond-both-caps fallback: score ALL matches
+                       // (kernel k = ∞, no driver-local path), then
+                       // semi-join this docID frame before the global
+                       // top-k — exact, distributed, never over-fetches
+                       postFilter: DataFrame = null): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
@@ -815,13 +945,18 @@ final class QueryEngine(
     val ranges = math.max(1L,
       math.min(numRanges.toLong, combinedDf.values.sum / 100_000L + 1)).toInt
     val rs = math.max(1L, (stats.maxDoc + ranges) / ranges)
-    val kk = k
+    // postFilter mode disables per-range top-k pruning: a range's
+    // filtered survivors may all rank below its unfiltered top k
+    val kk = if (postFilter != null) Int.MaxValue else k
     val rnd = rounded
+    val gate: Long => Boolean = if (gateBc == null) null else {
+      val gb = gateBc
+      val neg = gateNegate
+      id => (java.util.Arrays.binarySearch(gb.value, id) >= 0) != neg
+    }
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      if (phraseSeq != null) phraseRange(phraseSeq)
-      else if (orMode) wandOrRange
-      else wandRange
+      QueryEngine.kernel(phraseSeq, orMode, gate)
 
     // ---- driver-local fast path -------------------------------------
     // All of the query's postings fit the driver cache and norms are
@@ -832,7 +967,7 @@ final class QueryEngine(
     // IndexQuerySpec across all three paths). Works for AND, OR and
     // phrase (all terms are co-located on the driver).
     val totalDf = combinedDf.values.sum
-    if (normsBc.isDefined && localWandUpTo > 0 &&
+    if (postFilter == null && normsBc.isDefined && localWandUpTo > 0 &&
         totalDf <= math.max(localWandUpTo, localParallelCap)) {
       val byTerm = synchronized { localSegsFor(termCtx.map(_.term), perDir) }
       val norms = normsBc.get.value
@@ -980,13 +1115,18 @@ final class QueryEngine(
       }
     }
 
+    val gated =
+      if (postFilter == null) local.toDF()
+      else local.toDF().join(
+        postFilter.select(col("docID").cast("long").as("docID")).distinct(),
+        Seq("docID"), "left_semi")
     if (rounded)
-      local.toDF()
+      gated
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("docID").asc)
         .limit(k)
     else
-      local.toDF()
+      gated
         .orderBy(col("score").desc, col("docID").asc)
         .limit(k)
   }
@@ -1004,6 +1144,18 @@ final class QueryEngine(
     contractFrame(Bm25.PhraseQuerySet.map { case (qid, qtext) =>
       qid -> topKImpl(qtext, k, rounded = true, orMode = false, phraseMode = true)
     })
+
+  /** Driver-contract frame over the fixed query set, every query
+    * restricted to `allowedDocs`. The filter resolves ONCE (one gate
+    * broadcast shared by all queries), not per query. */
+  def topKAllFiltered(allowedDocs: DataFrame, k: Int = Bm25.K,
+                      orMode: Boolean = false): DataFrame = {
+    val (g, neg, post) = resolveFilter(allowedDocs)
+    contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = orMode,
+        gateBc = g, gateNegate = neg, postFilter = post)
+    })
+  }
 
   private def contractFrame(perQuery: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

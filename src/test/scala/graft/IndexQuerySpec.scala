@@ -429,4 +429,58 @@ class IndexQuerySpec extends AnyFunSuite {
       .select(col("docID"), sha2(col("content"), 256).as("sha"))
     assert(src.exceptAll(eng).count() == 0 && eng.exceptAll(src).count() == 0)
   }
+
+  // ------------------------------------------------- filtered retrieval
+
+  private def langAllowed(lang: String) =
+    Corpus.docs(spark, sfDir).filter(col("lang") === lang).select(col("docID"))
+
+  test("filtered retrieval: gate path rank-identical to the filtered brute oracle") {
+    built
+    for (lang <- Seq("en", "de")) {
+      val oracle = Bm25.oracleTopK(spark, sfDir, langFilter = lang)
+        .collect().map(_.toSeq).toSeq
+      val indexed = engine.topKAllFiltered(langAllowed(lang))
+        .collect().map(_.toSeq).toSeq
+      assert(indexed == oracle, s"lang=$lang")
+      // exactness, not post-filtering: every returned doc IS of the lang
+      val ids = Corpus.docs(spark, sfDir).filter(col("lang") === lang)
+        .select(col("docID")).collect().map(_.getLong(0)).toSet
+      assert(indexed.forall(r => ids.contains(r(2).asInstanceOf[Long])))
+    }
+  }
+
+  test("filtered retrieval: all three filter shapes identical (gate / negated gate / score-all)") {
+    built
+    // allowed = all but 3 docs → forces the COMPLEMENT (negated-gate)
+    // shape at cap 5, and the score-all semi-join shape at cap 0
+    val allowed = Corpus.docs(spark, sfDir)
+      .filter(col("docID") >= 3).select(col("docID"))
+    val gateEng = engine // default cap: broadcast allowed set
+    val negEng = new QueryEngine(spark, Seq(indexDir), filterBroadcastUpTo = 5)
+    val postEng = new QueryEngine(spark, Seq(indexDir), filterBroadcastUpTo = 0)
+    for ((_, qtext) <- Bm25.QuerySet.take(4)) {
+      val a = collectTopK(gateEng.topKFiltered(qtext, allowed))
+      assert(collectTopK(negEng.topKFiltered(qtext, allowed)) == a, s"negated '$qtext'")
+      assert(collectTopK(postEng.topKFiltered(qtext, allowed)) == a, s"score-all '$qtext'")
+      val ao = collectTopK(gateEng.topKFiltered(qtext, allowed, orMode = true))
+      assert(collectTopK(negEng.topKFiltered(qtext, allowed, orMode = true)) == ao,
+        s"negated OR '$qtext'")
+      assert(collectTopK(postEng.topKFiltered(qtext, allowed, orMode = true)) == ao,
+        s"score-all OR '$qtext'")
+    }
+  }
+
+  test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
+    built
+    val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))
+    val all = Corpus.docs(spark, sfDir).select(col("docID"))
+    for ((_, qtext) <- Bm25.QuerySet.take(3)) {
+      assert(collectTopK(engine.topKFiltered(qtext, none)).isEmpty)
+      assert(collectTopK(engine.topKFiltered(qtext, all)) ==
+        collectTopK(engine.topK(qtext)), s"'$qtext'")
+      assert(collectTopK(engine.topKFiltered(qtext, all, orMode = true)) ==
+        collectTopK(engine.topKOr(qtext)), s"OR '$qtext'")
+    }
+  }
 }
