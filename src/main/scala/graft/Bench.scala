@@ -189,6 +189,31 @@ object Bench {
       qid -> times(times.length / 2)
     }
 
+    // faceted latency (peak child only): the same query set gated to the
+    // corpus's LARGEST lang facet (worst-case gate size), facet prepared
+    // ONCE — the steady-state shape for a query node serving a
+    // facet-heavy workload (per-query resolve would re-pay one Spark job)
+    val filteredJson = if (!phrase) "" else {
+      val allowed = spark.read.parquet(s"$corpusDir/documents.parquet")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").cast("long").as("docID"))
+      val facet = engine.prepareFilter(allowed)
+      Bm25.QuerySet.foreach { case (_, q) =>
+        engine.topKFiltered(q, facet, Bm25.K, rounded = true, orMode = false).collect()
+      }
+      val flats = Bm25.QuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKFiltered(q, facet, Bm25.K, rounded = true, orMode = false).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def fpct(p: Double) = flats(
+        math.min(flats.length - 1, math.ceil(p * flats.length).toInt - 1).max(0))
+      f""""filtered_p50_ms":${fpct(0.5)}%.3f,"filtered_p95_ms":${fpct(0.95)}%.3f,"""
+    }
+
     // positional build + phrase latency (peak child only): tracks the
     // ~2× positional build/size cost and phrase p50/p95 (VERDICT r2 #8)
     val phraseJson = if (!phrase) "" else {
@@ -241,7 +266,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$phraseJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -367,6 +392,7 @@ object Bench {
       f""","scaling":{"n_cpus":$scaleN,"n4_cpus":${4 * scaleN},"build_sec_n":${s("build_sec").toDouble}%.3f,"build_sec_4n":${n4("build_sec").toDouble}%.3f,"docs_per_sec_n":$nThr%.1f,"docs_per_sec_4n":$n4Thr%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMedian%.3f,"efficiency_attempts":$att,"query_p50_ms_n":${s("p50_ms").toDouble}%.1f,"query_p50_ms_4n":${n4("p50_ms").toDouble}%.1f}"""
     }.getOrElse("")
     val counters = Seq("host_ext_busy_frac", "host_steal_frac", "loadavg",
+        "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
         "decon_sec", "decon_docs_per_sec", "decon_flagged",

@@ -56,6 +56,27 @@ object Explain {
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topK("hash join"))
 
+    show("indexed BM25 top-k, multi-term OR (scan path, physical)",
+      "Expect: SAME shape as AND — no Exchange before the WAND " +
+        "mapPartitions, one TakeOrderedAndProject. OR tasks derive owned " +
+        "docID intervals from the cached driver-segment range directory " +
+        "(gap coverage included), so multi-term OR pays no per-query " +
+        "segment shuffle either.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topKOr("hash join"))
+
+    show("indexed BM25 top-k, faceted (broadcast gate, scan path)",
+      "Expect: IDENTICAL plan to the unfiltered scan path — the filter " +
+        "rides the closure as a sorted-array broadcast gate checked " +
+        "inside the WAND kernel at the aligned candidate (before top-k " +
+        "pruning), adding zero operators and zero Exchange.",
+      {
+        val eng = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        eng.topKFiltered("hash join",
+          Corpus.docs(spark, sfDir).filter(col("lang") === "en")
+            .select(col("docID")))
+      })
+
     show("indexed BM25 top-k (driver-local fast path)",
       "Expect: LocalTableScan ONLY — the WAND kernel already ran on the " +
         "driver against cached segments + local norms; collect() " +

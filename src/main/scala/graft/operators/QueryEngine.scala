@@ -770,6 +770,22 @@ final class QueryEngine(
     }
   }
 
+  /** A resolved filter, reusable across queries: resolving costs one
+    * Spark job (the distinct+take over the allowed frame), so callers
+    * serving many queries against the same facet prepare it ONCE and
+    * pass the handle — steady-state faceted latency is then gate-check
+    * cost only (the broadcast itself is also content-cached). */
+  final class Facet private[QueryEngine] (
+      private[QueryEngine] val gateBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      private[QueryEngine] val negate: Boolean,
+      private[QueryEngine] val postFilter: DataFrame)
+
+  /** Resolve `allowedDocs` into a reusable [[Facet]] handle. */
+  def prepareFilter(allowedDocs: DataFrame): Facet = {
+    val (g, neg, post) = resolveFilter(allowedDocs)
+    new Facet(g, neg, post)
+  }
+
   /** Filtered top-k: BM25 top-k restricted to `allowedDocs` (any frame
     * with a docID column — e.g. `Corpus.docs(...).filter(lang === "de")
     * .select("docID")`). Scoring statistics (idf, avgdl) stay
@@ -778,11 +794,15 @@ final class QueryEngine(
     * semantics that needs no per-filter stat rebuild). Exact: the gate
     * applies at the WAND candidate, before top-k pruning. */
   def topKFiltered(qtext: String, allowedDocs: DataFrame, k: Int = Bm25.K,
-                   rounded: Boolean = false, orMode: Boolean = false): DataFrame = {
-    val (g, neg, post) = resolveFilter(allowedDocs)
+                   rounded: Boolean = false, orMode: Boolean = false): DataFrame =
+    topKFiltered(qtext, prepareFilter(allowedDocs), k, rounded, orMode)
+
+  /** Filtered top-k against a prepared [[Facet]] (no per-query resolve). */
+  def topKFiltered(qtext: String, facet: Facet, k: Int,
+                   rounded: Boolean, orMode: Boolean): DataFrame =
     topKImpl(qtext, k, rounded, orMode,
-      gateBc = g, gateNegate = neg, postFilter = post)
-  }
+      gateBc = facet.gateBc, gateNegate = facet.negate,
+      postFilter = facet.postFilter)
 
   /** Release every broadcast this session created (norms + cached side
     * segments + filter gates). The engine must not be queried afterwards. */
