@@ -566,7 +566,10 @@ final class QueryEngine(
     // exact score-all + semi-join plan (no top-k pruning — shuffle ∝
     // matching docs, the honest distributed cost of an unselective
     // filter over an unselective query).
-    filterBroadcastUpTo: Int = 4_000_000) extends Serializable {
+    filterBroadcastUpTo: Int = 4_000_000,
+    // total ids retained across cached filter-gate broadcasts (the
+    // content-keyed LRU below); a parameter so specs can force eviction
+    gateCacheMaxIds: Long = 8_000_000L) extends Serializable {
 
   import QueryEngine._
   import spark.implicits._
@@ -716,12 +719,11 @@ final class QueryEngine(
     * (lang = 'x', repo = 'y'), so steady-state filtered queries reship
     * nothing. Eviction bounds total RETAINED ids, not entry count — one
     * cap-sized filter must not pin 32 cap-sized arrays. */
-  private val gateBcCache = mutable.LinkedHashMap.empty[
+  private[graft] val gateBcCache = mutable.LinkedHashMap.empty[
     Int, (Array[Long], org.apache.spark.broadcast.Broadcast[Array[Long]])]
-  private var gateCacheIds = 0L
-  private val gateCacheMaxIds = 8_000_000L
+  private[graft] var gateCacheIds = 0L
 
-  private def gateBroadcast(arr: Array[Long]):
+  private[graft] def gateBroadcast(arr: Array[Long]):
       org.apache.spark.broadcast.Broadcast[Array[Long]] = synchronized {
     val h = java.util.Arrays.hashCode(arr)
     gateBcCache.remove(h) match {
@@ -930,6 +932,21 @@ final class QueryEngine(
     * Requires an index built with storePositions=true. */
   def topKPhrase(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = false, phraseMode = true)
+
+  /** Faceted exact-phrase retrieval: [[topKPhrase]] restricted to
+    * `allowedDocs`, same corpus-global scoring and filter-shape
+    * resolution as [[topKFiltered]] (the WAND gate applies BEFORE the
+    * positional phrase check — cheaper test first, same exactness). */
+  def topKPhraseFiltered(qtext: String, allowedDocs: DataFrame,
+                         k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
+    topKPhraseFiltered(qtext, prepareFilter(allowedDocs), k, rounded)
+
+  /** Faceted phrase top-k against a prepared [[Facet]] handle. */
+  def topKPhraseFiltered(qtext: String, facet: Facet, k: Int,
+                         rounded: Boolean): DataFrame =
+    topKImpl(qtext, k, rounded, orMode = false, phraseMode = true,
+      gateBc = facet.gateBc, gateNegate = facet.negate,
+      postFilter = facet.postFilter)
 
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
                        orMode: Boolean, phraseMode: Boolean = false,
@@ -1174,6 +1191,16 @@ final class QueryEngine(
     contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
       qid -> topKImpl(qtext, k, rounded = true, orMode = orMode,
         gateBc = g, gateNegate = neg, postFilter = post)
+    })
+  }
+
+  /** Faceted twin of [[topKAllPhrase]]: the fixed PHRASE query set, every
+    * query restricted to `allowedDocs`; one filter resolve for the set. */
+  def topKAllPhraseFiltered(allowedDocs: DataFrame, k: Int = Bm25.K): DataFrame = {
+    val (g, neg, post) = resolveFilter(allowedDocs)
+    contractFrame(Bm25.PhraseQuerySet.map { case (qid, qtext) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = false,
+        phraseMode = true, gateBc = g, gateNegate = neg, postFilter = post)
     })
   }
 

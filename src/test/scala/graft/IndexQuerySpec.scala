@@ -234,6 +234,35 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(indexed == oracle)
   }
 
+  test("filtered phrase: three shapes match the exhaustive filtered construction") {
+    posEngine // force the positional build
+    val posDir = "target/test-index-pos-sf0001"
+    // even-docID facet: excludes real phrase matches (gate + score-all
+    // shapes); all-but-3 facet: complement of 3 ids fits cap 5, forcing
+    // the NEGATED-gate shape
+    val even = Corpus.docs(spark, sfDir)
+      .filter(col("docID") % 2 === 0).select(col("docID"))
+    val ge3 = Corpus.docs(spark, sfDir)
+      .filter(col("docID") >= 3).select(col("docID"))
+    val negEng = new QueryEngine(spark, Seq(posDir), filterBroadcastUpTo = 5)
+    val postEng = new QueryEngine(spark, Seq(posDir), filterBroadcastUpTo = 0)
+    def exhaustive(qtext: String, allowed: org.apache.spark.sql.DataFrame) = {
+      val ids = allowed.collect().map(_.getLong(0)).toSet
+      collectTopK(posEngine.topKPhrase(qtext, k = 100000))
+        .filter(r => ids.contains(r._1)).take(Bm25.K)
+    }
+    for ((qid, qtext) <- Bm25.PhraseQuerySet) {
+      val exEven = exhaustive(qtext, even)
+      assert(collectTopK(posEngine.topKPhraseFiltered(qtext, even)) == exEven,
+        s"$qid gate shape")
+      assert(collectTopK(postEng.topKPhraseFiltered(qtext, even)) == exEven,
+        s"$qid score-all shape")
+      val exGe3 = exhaustive(qtext, ge3)
+      assert(collectTopK(negEng.topKPhraseFiltered(qtext, ge3)) == exGe3,
+        s"$qid negated-gate shape")
+    }
+  }
+
   test("phrase: single word ≡ AND; phrase result ⊆ AND result; non-positional index rejected") {
     built
     assert(collectTopK(posEngine.topKPhrase("window")) ==
@@ -469,6 +498,37 @@ class IndexQuerySpec extends AnyFunSuite {
       assert(collectTopK(postEng.topKFiltered(qtext, allowed, orMode = true)) == ao,
         s"score-all OR '$qtext'")
     }
+  }
+
+  test("filter-gate cache: content hit, collision fallback, id-bounded eviction") {
+    built
+    val eng = new QueryEngine(spark, Seq(indexDir), gateCacheMaxIds = 4L)
+    try {
+      // content hit: equal arrays (distinct instances) share one broadcast
+      val b123 = eng.gateBroadcast(Array(1L, 2L, 3L))
+      assert(eng.gateBroadcast(Array(1L, 2L, 3L)) eq b123)
+      assert(eng.gateCacheIds == 3L)
+      // hash collision (java.util.Arrays.hashCode == 31 for BOTH: the
+      // single elements 0L and 2^32+1 element-hash to 0): the resident
+      // entry must stay resident and the colliding filter must get a
+      // fresh broadcast with ITS OWN content — silently reusing the
+      // resident array would apply the wrong filter
+      val z = eng.gateBroadcast(Array(0L))
+      assert(java.util.Arrays.hashCode(Array(0L)) ==
+        java.util.Arrays.hashCode(Array(4294967297L)))
+      val c = eng.gateBroadcast(Array(4294967297L))
+      assert(c ne z)
+      assert(c.value.toSeq == Seq(4294967297L))
+      assert(eng.gateBroadcast(Array(0L)) eq z, "resident entry evicted by collision")
+      assert(eng.gateCacheIds == 4L, "collision must not count toward retained ids")
+      // eviction is bounded by TOTAL retained ids, oldest-touched first:
+      // adding 2 ids over the cap of 4 evicts the LRU head (the 3-id
+      // array; 0L was touched later), then re-requesting it re-broadcasts
+      eng.gateBroadcast(Array(9L, 10L))
+      assert(eng.gateCacheIds == 3L)
+      assert(eng.gateBroadcast(Array(0L)) eq z, "recently-touched entry evicted")
+      assert(eng.gateBroadcast(Array(1L, 2L, 3L)) ne b123)
+    } finally eng.close()
   }
 
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
