@@ -48,6 +48,18 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPhrase()
   }
 
+  /** Faceted exact-phrase retrieval: phrase query set gated to one lang
+    * facet (corpus-global stats; gate checked before the adjacency test). */
+  def indexedPhraseTopKFiltered(spark: SparkSession, sfDir: String,
+                                lang: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    val allowed = Corpus.docs(spark, sfDir)
+      .filter(col("lang") === lang).select(col("docID"))
+    new QueryEngine(spark, Seq(indexDir)).topKAllPhraseFiltered(allowed)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- corpus mapping + per-row sha256 invariant (input_hint; SURVEY §1.2)
@@ -94,6 +106,12 @@ object SparkEntry {
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
+
+    // -- faceted exact-phrase BM25: lang-gated phrase results
+    "bm25_phrase_filtered_oracle" -> ((s, dir) =>
+      Bm25.oraclePhraseTopK(s, dir, langFilter = "en")),
+    "bm25_phrase_filtered" -> ((s, dir) =>
+      indexedPhraseTopKFiltered(s, dir, "en")),
 
     // -- reference LIKE-substring parity (SURVEY §2.4 P8 / §2.7 O3)
     "substring_search" -> ((s, dir) => SubstringSearch.searchAll(s, dir)),
@@ -199,6 +217,8 @@ object SparkEntry {
     "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
+    "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),
+    "bm25_phrase_filtered" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),
 
     "substring_search" -> SubstringSearch.oracleSql,
 

@@ -271,13 +271,19 @@ object Bm25 {
 
   /** Brute-force exact-phrase BM25 top-k over [[PhraseQuerySet]]:
     * adjacency filter on the token array, then the same pivoted
-    * fixed-association AND scoring as [[oracleTopK]]. */
-  def oraclePhraseTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    * fixed-association AND scoring as [[oracleTopK]]. `langFilter`
+    * restricts the RESULT set to one lang facet while scoring stats stay
+    * corpus-global (the faceted-retrieval contract, as in [[oracleTopK]]). */
+  def oraclePhraseTopK(spark: SparkSession, sfDir: String, k: Int = K,
+                       langFilter: String = null): DataFrame = {
     val docs   = Corpus.docs(spark, sfDir)
     val tf     = termFreq(docs).cache()
     val doclen = docLengths(tf)
     val stats  = corpusStats(doclen)
     val df     = docFreq(tf)
+    val allowed =
+      if (langFilter == null) null
+      else docs.filter(col("lang") === langFilter).select(col("docID"))
     val scored = tf
       .join(df, "term")
       .join(doclen, "docID")
@@ -300,7 +306,8 @@ object Bm25 {
         .agg(first(col("contrib")))
       val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
       val score = terms.map(t => col(t)).reduce(_ + _)
-      pivoted
+      (if (allowed == null) pivoted
+       else pivoted.join(broadcast(allowed), Seq("docID"), "left_semi"))
         .filter(allPresent)
         .withColumn("score", round(score, 4))
         .withColumn("rank",
@@ -429,8 +436,9 @@ object Bm25 {
 
   /** DuckDB twin of [[oraclePhraseTopK]]: same CTEs plus a token-array
     * CTE; adjacency via list_filter over 1-based index range (DuckDB
-    * range(a, b) is empty when b <= a, so short docs need no guard). */
-  def oracleSqlPhraseTopK(k: Int = K): String = {
+    * range(a, b) is empty when b <= a, so short docs need no guard).
+    * `langFilter` gates the result set like [[oracleSqlTopK]]'s. */
+  def oracleSqlPhraseTopK(k: Int = K, langFilter: String = null): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
@@ -469,6 +477,9 @@ object Bm25 {
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val langPred =
+        if (langFilter == null) ""
+        else s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$langFilter')"
       s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
@@ -477,7 +488,7 @@ object Bm25 {
          |    FROM scored WHERE term IN ($inList) AND docID IN (
          |      SELECT docID FROM tokarr
          |      WHERE len(list_filter(range(1, len(toks) - ${m - 1} + 1),
-         |                            i -> $adjCond)) > 0)
+         |                            i -> $adjCond)) > 0)$langPred
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )
