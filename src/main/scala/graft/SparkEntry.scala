@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Bm25, Crawl, Dedup, Index, Media, Metrics, QueryEngine, Similarity, SubstringSearch, TextStats}
-import graft.streaming.Events
+import graft.streaming.{Events, IncrementalIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,29 @@ object SparkEntry {
     val allowed = Corpus.docs(spark, sfDir)
       .filter(col("lang") === lang).select(col("docID"))
     new QueryEngine(spark, Seq(indexDir)).topKAllFiltered(allowed)
+  }
+
+  /** Boolean-NOT retrieval: the fixed NOT query set, negated terms
+    * excluded by anti-posting iterators inside the WAND gate. */
+  def indexedTopKNot(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllNot()
+  }
+
+  /** LSM deletes: tombstone docs (docID % 7 == 3), then run the fixed
+    * query set with the tombstone deny facet applied — deleted docs
+    * excluded from results, scoring stats as-built (Lucene deleted-doc
+    * semantics; compaction recomputes stats — StreamingSpec). */
+  def indexedTopKDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    IncrementalIndex.delete(
+      Corpus.docs(spark, sfDir).filter(col("docID") % 7 === 3)
+        .select(col("docID")), indexDir)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    val deny = IncrementalIndex.denyFacet(spark, indexDir, eng).get
+    eng.topKAllFiltered(deny, Bm25.K, orMode = false)
   }
 
   /** Phrase queries need positions: a separate positional index dir. */
@@ -97,6 +120,15 @@ object SparkEntry {
     // -- disjunctive (OR) BM25: brute-force oracle + WAND-pruned engine
     "bm25_topk_or_oracle" -> ((s, dir) => Bm25.oracleTopKOr(s, dir)),
     "bm25_topk_or_indexed" -> ((s, dir) => indexedTopK(s, dir, orMode = true)),
+
+    // -- boolean NOT (`-term`): exclusion via anti-posting iterators in
+    //    the WAND gate; brute twin anti-joins before ranking
+    "bm25_topk_not_oracle" -> ((s, dir) => Bm25.oracleTopKNot(s, dir)),
+    "bm25_topk_not_indexed" -> ((s, dir) => indexedTopKNot(s, dir)),
+
+    // -- LSM deletes: tombstoned docs (docID%7==3) excluded via the
+    //    deny facet; stats as-built (Lucene deleted-doc semantics)
+    "bm25_topk_deleted" -> ((s, dir) => indexedTopKDeleted(s, dir)),
 
     // -- faceted BM25: lang-filtered result set, corpus-global stats
     "bm25_topk_filtered_oracle" -> ((s, dir) =>
@@ -213,6 +245,10 @@ object SparkEntry {
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
     "bm25_topk_or_oracle" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
+    "bm25_topk_not_oracle" -> Bm25.oracleSqlTopKNot(),
+    "bm25_topk_not_indexed" -> Bm25.oracleSqlTopKNot(),
+    "bm25_topk_deleted" -> Bm25.oracleSqlTopK(
+      docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),
     "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),

@@ -46,4 +46,19 @@ object Analyzer {
     * in BOTH the oracle and the indexed engine, so floating-point sums
     * associate identically (rank-identity contract, BASELINE.md). */
   def queryTerms(q: String): Seq[String] = tokenize(q).distinct.sorted
+
+  /** Signed-query analysis: whitespace pieces prefixed `-` are NEGATED
+    * (boolean NOT — "hash join -window" = docs with hash∧join, without
+    * window). Each side then goes through the normal analyzer, so
+    * `-Sort.ORDER` negates both `sort` and `order`. Returns
+    * (positive terms, negated terms), each distinct + ascending (the
+    * positive order is the BM25 association order, as [[queryTerms]]).
+    * A term on both sides stays on both — AND requires it, NOT rejects
+    * it, so such a query is ∅ by construction, matching the SQL twin. */
+  def signedTerms(q: String): (Seq[String], Seq[String]) = {
+    val pieces = q.split("\\s+").filter(_.nonEmpty)
+    val (neg, pos) = pieces.partition(p => p.length > 1 && p.startsWith("-"))
+    (pos.flatMap(tokenize).distinct.sorted.toSeq,
+     neg.flatMap(p => tokenize(p.drop(1))).distinct.sorted.toSeq)
+  }
 }

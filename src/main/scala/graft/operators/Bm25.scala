@@ -57,6 +57,19 @@ object Bm25 {
     "p07" -> "window",
   )
 
+  /** Fixed boolean-NOT query set (`-piece` = negated): common neg,
+    * stop-word-sized neg posting list, absent neg (≡ plain AND), two
+    * negs, self-negation (∅ by construction), stop-word driver with a
+    * common neg. */
+  val NotQuerySet: Seq[(String, String)] = Seq(
+    "n01" -> "hash join -window",
+    "n02" -> "table -the",
+    "n03" -> "batch -zzzzunknown",
+    "n04" -> "spark query -merge -sort",
+    "n05" -> "window -window",
+    "n06" -> "the -table",
+  )
+
   // ---------------------------------------------------------------- stats
 
   /** (docID, term, tf) — term frequency per document. One shuffle
@@ -212,6 +225,55 @@ object Bm25 {
         .agg(first(col("contrib")))
       val score = terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
       pivoted
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Brute-force boolean-NOT top-k over [[NotQuerySet]]: AND-semantics
+    * BM25 over each query's positive terms, docs containing ANY negated
+    * term removed by an anti-join BEFORE ranking (so the top-k is exact
+    * among survivors, not a post-filter of an unfiltered top-k). The
+    * negated terms never contribute to the score — survivor scores equal
+    * the plain-AND scores, the property the indexed engine's anti-gate
+    * relies on. */
+  def oracleTopKNot(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = NotQuerySet.map { case (qid, qtext) =>
+      val (terms, neg) = graft.functions.Analyzer.signedTerms(qtext)
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val excluded =
+        if (neg.isEmpty) pivoted
+        else pivoted.join(
+          broadcast(tf.filter(col("term").isin(neg: _*))
+            .select(col("docID")).distinct()),
+          Seq("docID"), "left_anti")
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      excluded
+        .filter(allPresent)
         .withColumn("score", round(score, 4))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
@@ -386,7 +448,11 @@ object Bm25 {
   /** ANSI SQL (DuckDB dialect) twin of [[oracleTopK]], generated from the
     * same QuerySet so both sides share one source of truth. Table name
     * `documents` = the driver-registered parquet. */
-  def oracleSqlTopK(k: Int = K, langFilter: String = null): String = {
+  def oracleSqlTopK(k: Int = K, langFilter: String = null,
+                    // extra raw SQL predicate on the candidate docID
+                    // (e.g. the tombstone-exclusion twin); appended to
+                    // the per-query WHERE clause verbatim
+                    docPred: String = null): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
@@ -418,8 +484,9 @@ object Bm25 {
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
       val langPred =
-        if (langFilter == null) ""
-        else s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$langFilter')"
+        (if (langFilter == null) ""
+         else s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$langFilter')") +
+        (if (docPred == null) "" else s"\n      AND $docPred")
       s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
          |  SELECT docID, round($scoreExpr, 4) AS score,
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
@@ -538,6 +605,61 @@ object Bm25 {
          |    SELECT docID, $cs
          |    FROM scored WHERE term IN ($inList)
          |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleTopKNot]]: the AND-semantics per-query SQL
+    * plus `docID NOT IN (docs containing any negated term)` applied
+    * before ranking — the same exclusion-before-top-k the engine's
+    * anti-posting gate performs. */
+  def oracleSqlTopKNot(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = NotQuerySet.map { case (qid, qtext) =>
+      val (terms, neg) = graft.functions.Analyzer.signedTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val negPred =
+        if (neg.isEmpty) ""
+        else {
+          val negList = neg.map(t => s"'$t'").mkString(", ")
+          s"\n      AND docID NOT IN (SELECT docID FROM tf WHERE term IN ($negList))"
+        }
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)$negPred
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
          |  )
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")

@@ -223,6 +223,55 @@ object QueryEngine {
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
         conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, phraseSeq, gate)
 
+  /** NOT-aware kernel factory: negated terms become ANTI-POSTING
+    * iterators composed into the candidate gate — a candidate aligned by
+    * the positive terms is rejected iff some negated term's posting list
+    * contains it. The anti iterators ride the exact same compressed
+    * segments (segment/block skip included) as scoring terms, so
+    * exclusion costs O(neg postings ∩ range) with no global docID-set
+    * materialization — the 100 TB-honest shape (a broadcast deny-set of
+    * a negated stop word would be corpus-sized).
+    *
+    * The gate is built FRESH per kernel invocation (per docID range):
+    * both kernels probe the gate at non-decreasing candidates within one
+    * invocation — the conjunctive driver only moves forward, the
+    * disjunctive pivot is the min over forward-only iterators — which is
+    * exactly the contract the stateful anti iterators need. Sharing one
+    * gate across ranges (pooled threads, per-task interval lists) would
+    * break it; this factory makes that impossible by construction. */
+  def kernel(phraseSeq: Array[String], orMode: Boolean, gate: Long => Boolean,
+             negTerms: Array[String]):
+      (Map[String, Array[PostingSegment]], Array[TermCtx],
+       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
+    if (negTerms == null || negTerms.isEmpty) kernel(phraseSeq, orMode, gate)
+    else
+      (segs, ts, lenOf, av, lo, hi, k, rnd) =>
+        kernel(phraseSeq, orMode, negatedGate(gate, negTerms, segs, av, lo))(
+          segs, ts, lenOf, av, lo, hi, k, rnd)
+
+  /** Compose `base` (nullable) with anti-posting iterators over the
+    * negated terms present in `segs` (absent terms exclude nothing).
+    * Monotonic: callers must probe at non-decreasing docIDs. */
+  def negatedGate(base: Long => Boolean, negTerms: Array[String],
+                  segs: Map[String, Array[PostingSegment]],
+                  avgdl: Double, lo: Long): Long => Boolean = {
+    val negIters = negTerms.flatMap(segs.get).filter(_.nonEmpty)
+      .map(ss => new PostingListIterator(ss, avgdl))
+    negIters.foreach(_.advance(lo))
+    if (negIters.isEmpty) base
+    else { id =>
+      var hit = false
+      var i = 0
+      while (!hit && i < negIters.length) {
+        val it = negIters(i)
+        if (!it.exhausted && it.docID < id) it.advance(id)
+        hit = !it.exhausted && it.docID == id
+        i += 1
+      }
+      !hit && (base == null || base(id))
+    }
+  }
+
   /** Does any occurrence of the full phrase start at some position p?
     * byTerm maps each distinct phrase term to its (sorted) positions in
     * the candidate document. */
@@ -254,7 +303,10 @@ object QueryEngine {
       phraseSeq: Array[String],
       allowed: Long => Boolean): Seq[ScoredDoc] = {
     val n = termsSorted.length
-    if (n == 0 || segsByTerm.size < n) return Nil
+    // containment, not size: segsByTerm may carry EXTRA entries (the
+    // anti-posting lists of negated terms) beyond the scoring terms
+    if (n == 0 || termsSorted.exists(tc => !segsByTerm.contains(tc.term)))
+      return Nil
     val needPos = phraseSeq != null
     val iters = termsSorted.map(tc =>
       new PostingListIterator(segsByTerm(tc.term), avgdl, needPos))
@@ -788,6 +840,26 @@ final class QueryEngine(
     new Facet(g, neg, post)
   }
 
+  /** Resolve a DENIED-docID frame into a negated-gate [[Facet]] —
+    * candidates in the set are excluded before scoring. This is the LSM
+    * delete surface ([[graft.streaming.IncrementalIndex.delete]]):
+    * queries exclude tombstoned docs while corpus stats stay as-built
+    * (Lucene-style deleted-docs semantics — df/avgdl correct themselves
+    * at compaction, which drops the postings for real). The deny set
+    * must fit the gate broadcast cap: an index whose LIVE tombstones
+    * exceed it is overdue for compaction, and that is the scale-correct
+    * response — the alternative (enumerating the corpus-sized allowed
+    * complement) is exactly what this API exists to avoid. */
+  def prepareDeny(deniedDocs: DataFrame): Facet = {
+    val take = deniedDocs.select(col("docID").cast("long").as("docID"))
+      .distinct().as[Long].take(filterBroadcastUpTo + 1)
+    require(take.length <= filterBroadcastUpTo,
+      s"deny set exceeds the gate broadcast cap ($filterBroadcastUpTo ids) — " +
+        "compact the index to drop tombstoned postings first")
+    java.util.Arrays.sort(take)
+    new Facet(gateBroadcast(take), true, null)
+  }
+
   /** Filtered top-k: BM25 top-k restricted to `allowedDocs` (any frame
     * with a docID column — e.g. `Corpus.docs(...).filter(lang === "de")
     * .select("docID")`). Scoring statistics (idf, avgdl) stay
@@ -927,6 +999,37 @@ final class QueryEngine(
   def topKOr(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = true)
 
+  /** Boolean-NOT retrieval: query pieces prefixed `-` are negated —
+    * `"hash join -window"` ranks docs containing hash AND join but NOT
+    * window. Scoring is plain BM25 over the positive terms (exclusion
+    * never contributes to the score, so ranks among survivors equal the
+    * plain-AND ranks — the SQL `NOT IN` twin). Negation rides
+    * anti-posting iterators in the kernel gate
+    * ([[QueryEngine.negatedGate]]): no global deny-set materialization,
+    * all three physical paths (driver-local, pooled, distributed scan /
+    * range) apply it identically. A term both positive and negated
+    * yields ∅ by construction. */
+  def topKNot(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame = {
+    val (pos, neg) = Analyzer.signedTerms(qtext)
+    topKImpl(pos.mkString(" "), k, rounded, orMode = false, negTerms = neg)
+  }
+
+  /** Disjunctive twin of [[topKNot]]: OR over the positive terms, docs
+    * containing any negated term excluded. */
+  def topKOrNot(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame = {
+    val (pos, neg) = Analyzer.signedTerms(qtext)
+    topKImpl(pos.mkString(" "), k, rounded, orMode = true, negTerms = neg)
+  }
+
+  /** Driver-contract shape over the fixed NOT query set
+    * ([[Bm25.NotQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllNot(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.NotQuerySet.map { case (qid, q) =>
+      val (pos, neg) = Analyzer.signedTerms(q)
+      qid -> topKImpl(pos.mkString(" "), k, rounded = true, orMode = false,
+        negTerms = neg)
+    })
+
   /** Exact-phrase variant: docs containing the query tokens at
     * consecutive positions, BM25-scored over the distinct terms.
     * Requires an index built with storePositions=true. */
@@ -958,13 +1061,30 @@ final class QueryEngine(
                        // (kernel k = ∞, no driver-local path), then
                        // semi-join this docID frame before the global
                        // top-k — exact, distributed, never over-fetches
-                       postFilter: DataFrame = null): DataFrame = {
+                       postFilter: DataFrame = null,
+                       // NOT terms: docs containing ANY of these are
+                       // excluded via anti-posting iterators in the
+                       // kernel gate ([[QueryEngine.negatedGate]])
+                       negTerms: Seq[String] = Nil): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
     val phraseSeq: Array[String] =
       if (phraseMode) Analyzer.tokenize(qtext).toArray else null
     val perDir = lookupPerDir(terms)
+    // negated terms absent from the dictionary exclude nothing — drop
+    // them here so every downstream path sees only real posting lists
+    val negPerDir =
+      if (negTerms.isEmpty) perDir.map(_ => Seq.empty[DictEntry])
+      else lookupPerDir(negTerms.distinct.sorted)
+    val negPresent: Array[String] =
+      negPerDir.flatten.map(_.term).distinct.sorted.toArray
+    val negDfSum = negPerDir.flatten.map(_.df).sum
+    // per-dir union of scoring + anti entries (deduped by term for the
+    // both-signs case, where the same posting list serves both roles)
+    val perDirAll = perDir.zip(negPerDir).map { case (a, b) =>
+      (a ++ b.filterNot(e => a.exists(_.term == e.term)))
+    }
     // exact combined df: sum of per-index dfs (docID ranges are disjoint)
     val combinedDf: Map[String, Long] =
       perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
@@ -980,7 +1100,8 @@ final class QueryEngine(
     // capped at numRanges): a rare-term query runs in one task with no
     // fan-out, a stop-word query spreads across the cluster
     val ranges = math.max(1L,
-      math.min(numRanges.toLong, combinedDf.values.sum / 100_000L + 1)).toInt
+      math.min(numRanges.toLong,
+        (combinedDf.values.sum + negDfSum) / 100_000L + 1)).toInt
     val rs = math.max(1L, (stats.maxDoc + ranges) / ranges)
     // postFilter mode disables per-range top-k pruning: a range's
     // filtered survivors may all rank below its unfiltered top k
@@ -993,7 +1114,7 @@ final class QueryEngine(
     }
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      QueryEngine.kernel(phraseSeq, orMode, gate)
+      QueryEngine.kernel(phraseSeq, orMode, gate, negPresent)
 
     // ---- driver-local fast path -------------------------------------
     // All of the query's postings fit the driver cache and norms are
@@ -1003,10 +1124,12 @@ final class QueryEngine(
     // paths, so results are rank-identical by construction (asserted in
     // IndexQuerySpec across all three paths). Works for AND, OR and
     // phrase (all terms are co-located on the driver).
-    val totalDf = combinedDf.values.sum
+    val totalDf = combinedDf.values.sum + negDfSum
     if (postFilter == null && normsBc.isDefined && localWandUpTo > 0 &&
         totalDf <= math.max(localWandUpTo, localParallelCap)) {
-      val byTerm = synchronized { localSegsFor(termCtx.map(_.term), perDir) }
+      val byTerm = synchronized {
+        localSegsFor((termCtx.map(_.term) ++ negPresent.toSeq).distinct, perDirAll)
+      }
       val norms = normsBc.get.value
       val hits: Seq[ScoredDoc] =
         if (totalDf <= localWandUpTo)
@@ -1064,15 +1187,21 @@ final class QueryEngine(
     // that outgrow broadcast): shard the docID space, shuffle segments
     // (and, beyond the norms cap, cogroup norms) to range tasks.
     val driverTerm = termCtx.maxBy(_.df).term
-    val sideDfSum = termCtx.filter(_.term != driverTerm).map(_.df).sum
+    // anti segments of negated terms travel exactly like scoring side
+    // segments (broadcast on the scan path, shuffled on the range path),
+    // so they count against the same broadcast budget — except a term
+    // that is ALSO the driver, whose segments already ride the scan
+    val sideDfSum = termCtx.filter(_.term != driverTerm).map(_.df).sum +
+      negPerDir.flatten.filter(_.term != driverTerm).map(_.df).sum
     val scanPath = normsBc.isDefined && sideDfSum <= broadcastPostingsUpTo
 
     val local: org.apache.spark.sql.Dataset[ScoredDoc] =
     if (scanPath) {
       val bc = normsBc.get
       val para = spark.sparkContext.defaultParallelism
-      val sideBc = sideBroadcast(driverTerm + "|" + terms.sorted.mkString(",")) {
-        indexDirs.zip(perDir).flatMap { case (dir, es) =>
+      val sideBc = sideBroadcast(driverTerm + "|" + terms.sorted.mkString(",") +
+          (if (negPresent.isEmpty) "" else "|!" + negPresent.mkString(","))) {
+        indexDirs.zip(perDirAll).flatMap { case (dir, es) =>
           val se = es.filter(_.term != driverTerm)
           if (se.isEmpty) Nil
           else segmentsOf(dir, se.map(_.term),
@@ -1113,7 +1242,7 @@ final class QueryEngine(
         }
       }
     } else {
-      val segs = indexDirs.zip(perDir)
+      val segs = indexDirs.zip(perDirAll)
         .filter(_._2.nonEmpty)
         .map { case (dir, es) =>
           segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
@@ -1193,6 +1322,15 @@ final class QueryEngine(
         gateBc = g, gateNegate = neg, postFilter = post)
     })
   }
+
+  /** [[topKAllFiltered]] against a prepared [[Facet]] handle (e.g. the
+    * deny facet of [[prepareDeny]]) — no per-call filter resolve. */
+  def topKAllFiltered(facet: Facet, k: Int, orMode: Boolean): DataFrame =
+    contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = orMode,
+        gateBc = facet.gateBc, gateNegate = facet.negate,
+        postFilter = facet.postFilter)
+    })
 
   /** Faceted twin of [[topKAllPhrase]]: the fixed PHRASE query set, every
     * query restricted to `allowedDocs`; one filter resolve for the set. */

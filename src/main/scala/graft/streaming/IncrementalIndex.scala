@@ -55,6 +55,33 @@ object IncrementalIndex {
       }
       .start()
 
+  def tombstoneDir(baseDir: String): String = s"$baseDir/tombstones"
+
+  /** Record deletions as TOMBSTONES: append the docIDs to the base's
+    * tombstone table. O(deletes) — no posting is touched; queries
+    * exclude tombstoned docs through [[denyFacet]] and compaction drops
+    * their postings (and their contribution to df/avgdl) for real —
+    * Lucene-style deleted-docs semantics. Idempotent: duplicate ids
+    * dedup at read time, so replaying a delete batch is harmless. */
+  def delete(docIDs: DataFrame, baseDir: String): Unit =
+    docIDs.select(org.apache.spark.sql.functions.col("docID")
+        .cast("long").as("docID"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(tombstoneDir(baseDir))
+
+  /** The live tombstone set (None if nothing was ever deleted). */
+  def tombstones(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    if (Files.isDirectory(Paths.get(tombstoneDir(baseDir))))
+      Some(spark.read.parquet(tombstoneDir(baseDir)).distinct())
+    else None
+
+  /** Deny [[QueryEngine.Facet]] over the live tombstones — pass to
+    * `topKFiltered`/`topKAllFiltered` to query with deletes applied.
+    * None when the index has no tombstones (query unfiltered). */
+  def denyFacet(spark: SparkSession, baseDir: String,
+                engine: QueryEngine): Option[engine.Facet] =
+    tombstones(spark, baseDir).map(engine.prepareDeny)
+
   /** All COMPLETE delta indexes under baseDir, in batch order. */
   def deltaDirs(baseDir: String): Seq[String] = {
     val base = Paths.get(baseDir)
@@ -80,7 +107,11 @@ object IncrementalIndex {
     * dirs for `outDir` once `deltaDirs`-style completion (the
     * `_done_postings` marker) appears. */
   def compact(spark: SparkSession, dirs: Seq[String], outDir: String,
-              p: Index.BuildParams = Index.BuildParams()): Unit = {
+              p: Index.BuildParams = Index.BuildParams(),
+              // tombstoned docIDs to DROP: their tf rows never enter the
+              // compacted tf, so stages 2-4 recompute df/avgdl/N over
+              // the survivors — deletes become real here
+              tombstoned: Option[DataFrame] = None): Unit = {
     require(dirs.nonEmpty)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // version-stamp BEFORE writing the tf marker: ensureFormat wipes
@@ -88,8 +119,17 @@ object IncrementalIndex {
     Index.ensureFormat(outDir)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$outDir/_done_tf"))) {
-      dirs.map(d => spark.read.parquet(s"$d/tf"))
+      val unioned = dirs.map(d => spark.read.parquet(s"$d/tf"))
         .reduce(_ unionByName _)
+      tombstoned.map { t =>
+        // broadcast anti-join: the deny set is gate-cap bounded (small
+        // by compaction policy), the tf table is corpus-sized
+        unioned.join(
+          org.apache.spark.sql.functions.broadcast(
+            t.select(org.apache.spark.sql.functions.col("docID")
+              .cast("long").as("docID")).distinct()),
+          Seq("docID"), "left_anti")
+      }.getOrElse(unioned)
         .repartition(p.partitions)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/tf")

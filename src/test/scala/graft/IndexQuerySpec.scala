@@ -195,6 +195,62 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(indexed == oracle)
   }
 
+  test("NOT mode: rounded driver-contract frame matches brute-force NOT oracle") {
+    built
+    val oracle = Bm25.oracleTopKNot(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAllNot().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("NOT mode: path identity (driver-local == pooled == range shuffle), AND + OR") {
+    built
+    val pooled = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
+    val range = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, qtext) <- Bm25.NotQuerySet) {
+      val local = collectTopK(engine.topKNot(qtext))
+      assert(collectTopK(pooled.topKNot(qtext)) == local, s"$qid pooled AND-NOT")
+      assert(collectTopK(range.topKNot(qtext)) == local, s"$qid range AND-NOT")
+      val localOr = collectTopK(engine.topKOrNot(qtext))
+      assert(collectTopK(pooled.topKOrNot(qtext)) == localOr, s"$qid pooled OR-NOT")
+      assert(collectTopK(range.topKOrNot(qtext)) == localOr, s"$qid range OR-NOT")
+    }
+  }
+
+  test("OR-NOT: identical to exhaustive disjunctive oracle minus excluded docs") {
+    built
+    import spark.implicits._
+    val tf = Bm25.termFreq(Corpus.docs(spark, sfDir))
+    for (qtext <- Seq("hash join -window", "table -the", "the -table")) {
+      val (pos, neg) = graft.functions.Analyzer.signedTerms(qtext)
+      val negDocs = tf.filter(col("term").isin(neg: _*))
+        .select("docID").as[Long].collect().toSet
+      // exhaustive: k beyond corpus size, exclude, re-take 10 — exact
+      // exclusion-before-top-k semantics
+      val brute = collectTopK(
+          Bm25.oracleTopKOrExact(spark, sfDir, pos.mkString(" "), k = 1_000_000))
+        .filterNot(h => negDocs(h._1)).take(10)
+      val indexed = collectTopK(engine.topKOrNot(qtext))
+      assert(indexed.map(_._1) == brute.map(_._1),
+        s"'$qtext': docID ranking differs\n brute=$brute\n indexed=$indexed")
+      brute.zip(indexed).foreach { case ((d, bs), (_, is)) =>
+        assert(math.abs(bs - is) < 1e-9, s"'$qtext' doc $d: brute=$bs indexed=$is")
+      }
+    }
+  }
+
+  test("NOT mode: absent negated term is a no-op; self-negation is empty") {
+    built
+    assert(collectTopK(engine.topKNot("batch -zzzzunknown")) ==
+           collectTopK(engine.topK("batch")))
+    assert(engine.topKNot("window -window").count() == 0)
+    assert(engine.topKOrNot("window -window").count() == 0)
+    // pure negation (no positive terms) is ∅, not "everything minus"
+    assert(engine.topKNot("-window").count() == 0)
+  }
+
   test("OR mode: single-term queries coincide with AND; all-absent query is empty") {
     built
     for (q <- Seq("window", "batch", "the"))

@@ -77,6 +77,76 @@ class StreamingSpec extends AnyFunSuite {
       oneShot.topKAll().collect().map(_.toSeq).toSeq)
   }
 
+  test("tombstone deletes: queries exclude deleted docs, brute-twin exact, idempotent") {
+    import spark.implicits._
+    val base = "target/test-stream-deletes"
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val params = BuildParams(numBuckets = 8, saltThreshold = 50,
+      saltChunk = 64, segmentSize = 128, partitions = 4)
+    Index.build(spark, sfDir, base, params)
+    val eng = new QueryEngine(spark, Seq(base))
+    val delIds = Corpus.docs(spark, sfDir)
+      .filter(col("docID") % 5 === 1).select(col("docID"))
+    IncrementalIndex.delete(delIds, base)
+    IncrementalIndex.delete(delIds, base) // replay: must change nothing
+    val deny = IncrementalIndex.denyFacet(spark, base, eng).get
+    val del = delIds.as[Long].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select(col("docID").cast("long"), col("score").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for ((qid, qtext) <- Bm25.QuerySet) {
+      val got = hits(eng.topKFiltered(qtext, deny, Bm25.K,
+        rounded = false, orMode = false))
+      assert(got.forall(h => !del(h._1)), s"$qid returned a deleted doc")
+      // brute twin: exclusion BEFORE top-k; stats over the FULL corpus
+      // (Lucene deleted-doc semantics pre-compaction)
+      val brute = hits(Bm25.oracleTopKExact(spark, sfDir, qtext, k = 1_000_000))
+        .filterNot(h => del(h._1)).take(Bm25.K)
+      assert(got.map(_._1) == brute.map(_._1),
+        s"$qid '$qtext': ranking differs\n brute=$brute\n got=$got")
+      brute.zip(got).foreach { case ((d, bs), (_, is)) =>
+        assert(math.abs(bs - is) < 1e-9, s"$qid doc $d: brute=$bs got=$is")
+      }
+    }
+  }
+
+  test("compaction with tombstones drops deleted docs AND their stat contributions") {
+    import spark.implicits._
+    val base = "target/test-stream-deletes"
+    val compacted = "target/test-stream-deletes-compacted"
+    val fresh = "target/test-stream-deletes-fresh"
+    assume(IncrementalIndex.tombstones(spark, base).nonEmpty,
+      "tombstone delete test must have run first")
+    Seq(compacted, fresh).foreach(d =>
+      new Directory(new java.io.File(d)).deleteRecursively())
+    val params = BuildParams(numBuckets = 8, saltThreshold = 50,
+      saltChunk = 64, segmentSize = 128, partitions = 4)
+    IncrementalIndex.compact(spark, Seq(base), compacted, params,
+      IncrementalIndex.tombstones(spark, base))
+    // the exactness oracle: a fresh one-shot build over ONLY survivors
+    Index.buildFrom(spark,
+      Corpus.docs(spark, sfDir).filter(col("docID") % 5 =!= 1), fresh, params)
+    val c = new QueryEngine(spark, Seq(compacted))
+    val f = new QueryEngine(spark, Seq(fresh))
+    assert(c.stats == f.stats,
+      s"compaction must recompute N/avgdl over survivors: ${c.stats} vs ${f.stats}")
+    assert(c.topKAll().collect().map(_.toSeq).toSeq ==
+      f.topKAll().collect().map(_.toSeq).toSeq)
+    assert(c.topKAll(orMode = true).collect().map(_.toSeq).toSeq ==
+      f.topKAll(orMode = true).collect().map(_.toSeq).toSeq)
+  }
+
+  test("deny set beyond the gate cap demands compaction") {
+    val base = "target/test-stream-deletes"
+    assume(IncrementalIndex.tombstones(spark, base).nonEmpty,
+      "tombstone delete test must have run first")
+    val small = new QueryEngine(spark, Seq(base), filterBroadcastUpTo = 3)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.denyFacet(spark, base, small)
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("incremental ingestion is idempotent under batch replay") {
     import spark.implicits._
     val lsm = "target/test-stream-replay"
