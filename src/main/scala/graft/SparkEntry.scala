@@ -71,6 +71,15 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPhrase()
   }
 
+  /** Proximity (window) retrieval over the positional index: each fixed
+    * query's terms must co-occur within its w-token window. */
+  def indexedWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    new QueryEngine(spark, Seq(indexDir)).topKAllWindow()
+  }
+
   /** Faceted exact-phrase retrieval: phrase query set gated to one lang
     * facet (corpus-global stats; gate checked before the adjacency test). */
   def indexedPhraseTopKFiltered(spark: SparkSession, sfDir: String,
@@ -138,6 +147,10 @@ object SparkEntry {
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
+
+    // -- proximity (window) BM25: all terms within w consecutive tokens
+    "bm25_window_oracle" -> ((s, dir) => Bm25.oracleWindowTopK(s, dir)),
+    "bm25_window_indexed" -> ((s, dir) => indexedWindowTopK(s, dir)),
 
     // -- faceted exact-phrase BM25: lang-gated phrase results
     "bm25_phrase_filtered_oracle" -> ((s, dir) =>
@@ -255,6 +268,8 @@ object SparkEntry {
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),
     "bm25_phrase_filtered" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),
+    "bm25_window_oracle" -> Bm25.oracleSqlWindowTopK(),
+    "bm25_window_indexed" -> Bm25.oracleSqlWindowTopK(),
 
     "substring_search" -> SubstringSearch.oracleSql,
 

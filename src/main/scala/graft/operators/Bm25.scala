@@ -57,6 +57,21 @@ object Bm25 {
     "p07" -> "window",
   )
 
+  /** Fixed proximity (window) query set (FIXTURES.md §13): (qid, qtext,
+    * w) — the doc must contain ALL distinct query terms within some
+    * window of w consecutive tokens. Covers: common pair loose/tight,
+    * three terms, absent term (∅), single word (≡ AND), impossible
+    * window (two distinct terms, w=1 → ∅), rare pair wide. */
+  val WindowQuerySet: Seq[(String, String, Int)] = Seq(
+    ("v01", "table hash", 8),
+    ("v02", "hash join", 4),
+    ("v03", "stream table hash", 12),
+    ("v04", "window zzzzunknown", 8),
+    ("v05", "window", 8),
+    ("v06", "Merge GROUP", 1),
+    ("v07", "slow key", 16),
+  )
+
   /** Fixed boolean-NOT query set (`-piece` = negated): common neg,
     * stop-word-sized neg posting list, absent neg (≡ plain AND), two
     * negs, self-negation (∅ by construction), stop-word driver with a
@@ -380,6 +395,91 @@ object Bm25 {
     perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }
 
+  /** Column predicate: do all `terms` co-occur within some window of `w`
+    * consecutive tokens? Pure built-ins — exists over every 1-based start
+    * position, slice clamps at the array end. `greatest(..., 1)` guards
+    * sequence()'s descending-step surprise on empty token arrays. */
+  def windowCol(toks: Column, terms: Seq[String], w: Int): Column =
+    exists(sequence(lit(1), greatest(size(toks), lit(1))),
+      i => terms.map(t => array_contains(slice(toks, i, lit(w)), t))
+        .reduce(_ && _))
+
+  /** Brute-force proximity (window) BM25 top-k over [[WindowQuerySet]]:
+    * co-occurrence-within-w filter on the token array, then the same
+    * pivoted fixed-association AND scoring as [[oracleTopK]]. Window
+    * matches ⊆ AND matches, so scoring semantics are exactly AND's. */
+  def oracleWindowTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val toks = docs.select(col("docID"),
+      Analyzer.tokensCol(col("content")).as("toks"))
+
+    val perQuery = WindowQuerySet.map { case (qid, qtext, w) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val near = toks.filter(windowCol(col("toks"), terms, w)).select(col("docID"))
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .join(near, "docID")
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score window variant for internal rank-identity tests. */
+  def oracleWindowTopKExact(spark: SparkSession, sfDir: String, qtext: String,
+                            w: Int, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val terms  = Analyzer.queryTerms(qtext)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+    val near = docs
+      .select(col("docID"), Analyzer.tokensCol(col("content")).as("toks"))
+      .filter(windowCol(col("toks"), terms, w)).select(col("docID"))
+    val pivoted = scored
+      .filter(col("term").isin(terms: _*))
+      .join(near, "docID")
+      .groupBy(col("docID"))
+      .pivot("term", terms)
+      .agg(first(col("contrib")))
+    val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+    val score = terms.map(t => col(t)).reduce(_ + _)
+    pivoted
+      .filter(allPresent)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score phrase variant for internal rank-identity tests. */
   def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
                             k: Int = K): DataFrame = {
@@ -658,6 +758,66 @@ object Bm25 {
          |  FROM (
          |    SELECT docID, $cs
          |    FROM scored WHERE term IN ($inList)$negPred
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleWindowTopK]]: the phrase twin's CTEs with the
+    * adjacency predicate generalized to a sliding window — a doc matches
+    * iff some 1-based start i has every query term inside
+    * toks[i : i+w−1] (DuckDB slices are inclusive and clamp at the list
+    * end, exactly like Spark's `slice(toks, i, w)`). */
+  def oracleSqlWindowTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tokarr AS (
+         |  SELECT doc_id AS docID,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |  FROM documents
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = WindowQuerySet.map { case (qid, qtext, w) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val winCond = terms.map(t =>
+        s"list_contains(toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+${w - 1}], '$t')")
+        .mkString(" AND ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList) AND docID IN (
+         |      SELECT docID FROM tokarr
+         |      WHERE len(list_filter(range(1, len(toks) + 1),
+         |                            i -> $winCond)) > 0)
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )

@@ -188,7 +188,7 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, null, null)
+      rounded, null, 0, null)
 
   /** Exact-phrase variant: conjunctive WAND whose aligned candidates must
     * additionally contain the phrase tokens at CONSECUTIVE positions
@@ -204,16 +204,35 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, phraseSeq, null)
+      rounded, phraseSeq, 0, null)
 
-  /** Kernel factory for every (AND/OR/phrase) × (gated/ungated) shape —
-    * one 8-arg function the physical paths dispatch on. `gate` (may be
-    * null = unfiltered) restricts candidates to allowed docIDs at the
-    * aligned candidate, BEFORE scoring and heap entry, so filtered top-k
-    * is exact (a post-filter of an unfiltered top-k would lose filtered
-    * docs ranked below the unfiltered k). Pruning bounds stay admissible:
-    * the gate only REMOVES candidates. */
-  def kernel(phraseSeq: Array[String], orMode: Boolean, gate: Long => Boolean):
+  /** Proximity variant: conjunctive WAND whose aligned candidates must
+    * additionally contain ALL query terms within some window of `w`
+    * consecutive tokens (positional index required). Like the phrase
+    * gate, window matches ⊆ AND matches, so scoring and all pruning
+    * bounds are exactly the AND path's. */
+  def windowRange(terms: Array[String], w: Int)(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, k: Int,
+      rounded: Boolean): Seq[ScoredDoc] =
+    conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
+      rounded, terms, w, null)
+
+  /** Kernel factory for every (AND/OR/phrase/window) × (gated/ungated)
+    * shape — one 8-arg function the physical paths dispatch on. `posTerms`
+    * (may be null = no positional gate) carries the phrase token sequence
+    * when `windowW == 0`, else the distinct terms of a `windowW`-token
+    * proximity gate. `gate` (may be null = unfiltered) restricts
+    * candidates to allowed docIDs at the aligned candidate, BEFORE scoring
+    * and heap entry, so filtered top-k is exact (a post-filter of an
+    * unfiltered top-k would lose filtered docs ranked below the unfiltered
+    * k). Pruning bounds stay admissible: the gate only REMOVES
+    * candidates. */
+  def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
+             gate: Long => Boolean):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if (orMode)
@@ -221,7 +240,8 @@ object QueryEngine {
         disjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, gate)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
-        conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, phraseSeq, gate)
+        conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, posTerms,
+          windowW, gate)
 
   /** NOT-aware kernel factory: negated terms become ANTI-POSTING
     * iterators composed into the candidate gate — a candidate aligned by
@@ -239,14 +259,16 @@ object QueryEngine {
     * exactly the contract the stateful anti iterators need. Sharing one
     * gate across ranges (pooled threads, per-task interval lists) would
     * break it; this factory makes that impossible by construction. */
-  def kernel(phraseSeq: Array[String], orMode: Boolean, gate: Long => Boolean,
-             negTerms: Array[String]):
+  def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
+             gate: Long => Boolean, negTerms: Array[String]):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-    if (negTerms == null || negTerms.isEmpty) kernel(phraseSeq, orMode, gate)
+    if (negTerms == null || negTerms.isEmpty)
+      kernel(posTerms, windowW, orMode, gate)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
-        kernel(phraseSeq, orMode, negatedGate(gate, negTerms, segs, av, lo))(
+        kernel(posTerms, windowW, orMode,
+          negatedGate(gate, negTerms, segs, av, lo))(
           segs, ts, lenOf, av, lo, hi, k, rnd)
 
   /** Compose `base` (nullable) with anti-posting iterators over the
@@ -293,6 +315,47 @@ object QueryEngine {
     false
   }
 
+  /** Do all `terms` co-occur within some window of `w` consecutive
+    * tokens? Classic minimal-cover sweep over the per-term sorted
+    * position arrays: maintain one cursor per term, test the span
+    * (max − min ≤ w − 1) of the current frontier, then advance the
+    * cursor holding the minimum. O(total positions × |terms|) with
+    * |terms| tiny; no position list is materialized beyond what the
+    * iterator already decoded. Matches the brute oracle's
+    * "∃ start i: slice(toks, i, w) contains every term" exactly
+    * (a slice of w tokens holds the terms iff their positions span
+    * ≤ w − 1). */
+  def windowMatch(byTerm: Map[String, Array[Long]],
+                  terms: Array[String], w: Int): Boolean = {
+    val n = terms.length
+    if (n == 1) return byTerm(terms(0)).nonEmpty
+    val lists = new Array[Array[Long]](n)
+    val cur = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      lists(i) = byTerm(terms(i))
+      if (lists(i).isEmpty) return false
+      i += 1
+    }
+    var running = true
+    while (running) {
+      var minI = 0
+      var minP = lists(0)(cur(0))
+      var maxP = minP
+      i = 1
+      while (i < n) {
+        val p = lists(i)(cur(i))
+        if (p < minP) { minP = p; minI = i }
+        if (p > maxP) maxP = p
+        i += 1
+      }
+      if (maxP - minP <= w - 1) return true
+      cur(minI) += 1
+      if (cur(minI) >= lists(minI).length) running = false
+    }
+    false
+  }
+
   private def conjunctiveRange(
       segsByTerm: Map[String, Array[PostingSegment]],
       termsSorted: Array[TermCtx],
@@ -301,6 +364,7 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean,
       phraseSeq: Array[String],
+      windowW: Int,
       allowed: Long => Boolean): Seq[ScoredDoc] = {
     val n = termsSorted.length
     // containment, not size: segsByTerm may carry EXTRA entries (the
@@ -362,11 +426,14 @@ object QueryEngine {
         } else if (allowed != null && !allowed(candidate)) {
           // filtered out — never scored, never enters the heap
           iters(order(0)).advance(candidate + 1)
-        } else if (phraseSeq != null && !phraseMatch(
-            termsSorted.iterator.zipWithIndex
-              .map { case (tc, ti) => tc.term -> iters(ti).positions }.toMap,
-            phraseSeq)) {
-          // all terms present but never consecutively — not a phrase hit
+        } else if (phraseSeq != null && {
+            val byTerm = termsSorted.iterator.zipWithIndex
+              .map { case (tc, ti) => tc.term -> iters(ti).positions }.toMap
+            if (windowW > 0) !windowMatch(byTerm, phraseSeq, windowW)
+            else !phraseMatch(byTerm, phraseSeq)
+          }) {
+          // all terms present but never consecutively (phrase) / never
+          // within one w-token window (proximity) — not a hit
           iters(order(0)).advance(candidate + 1)
         } else {
           // exact score, fixed ascending-term association
@@ -1036,6 +1103,24 @@ final class QueryEngine(
   def topKPhrase(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = false, phraseMode = true)
 
+  /** Proximity retrieval: docs containing ALL query terms within some
+    * window of `w` consecutive tokens, BM25-scored over the distinct
+    * terms (window matches ⊆ AND matches, so ranks among survivors equal
+    * the plain-AND ranks — the SQL sliding-window twin). Requires an
+    * index built with storePositions=true. All three physical paths
+    * (driver-local, pooled, distributed) apply the same
+    * [[QueryEngine.windowMatch]] gate inside the kernel. */
+  def topKWindow(qtext: String, w: Int, k: Int = Bm25.K,
+                 rounded: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode = false, windowW = w)
+
+  /** Driver-contract frame over the fixed WINDOW query set
+    * ([[Bm25.WindowQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllWindow(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.WindowQuerySet.map { case (qid, qtext, w) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = false, windowW = w)
+    })
+
   /** Faceted exact-phrase retrieval: [[topKPhrase]] restricted to
     * `allowedDocs`, same corpus-global scoring and filter-shape
     * resolution as [[topKFiltered]] (the WAND gate applies BEFORE the
@@ -1053,6 +1138,9 @@ final class QueryEngine(
 
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
                        orMode: Boolean, phraseMode: Boolean = false,
+                       // >0: proximity gate — all query terms within some
+                       // window of this many consecutive tokens
+                       windowW: Int = 0,
                        // sorted allowed (or, negated, DISALLOWED) docIDs
                        // — the broadcast filter gate (topKFiltered)
                        gateBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null,
@@ -1070,7 +1158,9 @@ final class QueryEngine(
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
     val phraseSeq: Array[String] =
-      if (phraseMode) Analyzer.tokenize(qtext).toArray else null
+      if (phraseMode) Analyzer.tokenize(qtext).toArray
+      else if (windowW > 0) terms.toArray
+      else null
     val perDir = lookupPerDir(terms)
     // negated terms absent from the dictionary exclude nothing — drop
     // them here so every downstream path sees only real posting lists
@@ -1114,7 +1204,7 @@ final class QueryEngine(
     }
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      QueryEngine.kernel(phraseSeq, orMode, gate, negPresent)
+      QueryEngine.kernel(phraseSeq, windowW, orMode, gate, negPresent)
 
     // ---- driver-local fast path -------------------------------------
     // All of the query's postings fit the driver cache and norms are
