@@ -71,6 +71,15 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPhrase()
   }
 
+  /** Prefix retrieval: each fixed prefix expands against the dictionary
+    * and runs with OR semantics over the expansion (no positions needed
+    * — reuses the non-positional index). */
+  def indexedPrefixTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllPrefix()
+  }
+
   /** Proximity (window) retrieval over the positional index: each fixed
     * query's terms must co-occur within its w-token window. */
   def indexedWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -147,6 +156,10 @@ object SparkEntry {
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
+
+    // -- prefix BM25: dictionary expansion, OR semantics over expansion
+    "bm25_prefix_oracle" -> ((s, dir) => Bm25.oraclePrefixTopK(s, dir)),
+    "bm25_prefix_indexed" -> ((s, dir) => indexedPrefixTopK(s, dir)),
 
     // -- proximity (window) BM25: all terms within w consecutive tokens
     "bm25_window_oracle" -> ((s, dir) => Bm25.oracleWindowTopK(s, dir)),
@@ -270,6 +283,8 @@ object SparkEntry {
     "bm25_phrase_filtered" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),
     "bm25_window_oracle" -> Bm25.oracleSqlWindowTopK(),
     "bm25_window_indexed" -> Bm25.oracleSqlWindowTopK(),
+    "bm25_prefix_oracle" -> Bm25.oracleSqlPrefixTopK(),
+    "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
 
     "substring_search" -> SubstringSearch.oracleSql,
 

@@ -72,6 +72,23 @@ object Bm25 {
     ("v07", "slow key", 16),
   )
 
+  /** Fixed prefix query set (FIXTURES.md §14): each query is one term
+    * PREFIX; the query expands to every dictionary term starting with it
+    * and runs with OR semantics over the expansion (score = ordered sum
+    * of the contributions of the expansion terms the doc contains).
+    * Covers: wide expansion (6 terms), mixed-df expansion (common +
+    * rare), single-term expansion (≡ OR), absent prefix (∅), exact-term
+    * prefix, two-term expansion. */
+  val PrefixQuerySet: Seq[(String, String)] = Seq(
+    ("x01", "s"),
+    ("x02", "d"),
+    ("x03", "qu"),
+    ("x04", "zz"),
+    ("x05", "ta"),
+    ("x06", "w"),
+    ("x07", "b"),
+  )
+
   /** Fixed boolean-NOT query set (`-piece` = negated): common neg,
     * stop-word-sized neg posting list, absent neg (≡ plain AND), two
     * negs, self-negation (∅ by construction), stop-word driver with a
@@ -480,6 +497,67 @@ object Bm25 {
       .select(col("docID"), col("score"))
   }
 
+  /** Brute-force prefix BM25 top-k over [[PrefixQuerySet]]: every corpus
+    * term starting with the prefix contributes with OR semantics. The
+    * score folds the matching contributions in ASCENDING TERM ORDER
+    * starting from 0.0 — bit-identical to both the engine's disjunctive
+    * accumulation (absent terms add an exact +0.0) and the DuckDB twin's
+    * `list_reduce(list(contrib ORDER BY term), +)`. */
+  def oraclePrefixTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = PrefixQuerySet.map { case (qid, prefix) =>
+      scored
+        .filter(col("term").startsWith(prefix))
+        .groupBy(col("docID"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("raw"))
+        .withColumn("score", round(col("raw"), 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score prefix variant for internal rank-identity tests. */
+  def oraclePrefixTopKExact(spark: SparkSession, sfDir: String,
+                            prefix: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    tf.join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col("docID"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score phrase variant for internal rank-identity tests. */
   def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
                             k: Int = K): DataFrame = {
@@ -760,6 +838,51 @@ object Bm25 {
          |    FROM scored WHERE term IN ($inList)$negPred
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oraclePrefixTopK]]: the dynamic expansion is a
+    * `term LIKE 'p%'` predicate, and the data-dependent score sum is an
+    * ORDERED FOLD — `list_reduce(list(contrib ORDER BY term), +)` —
+    * which associates left-to-right over ascending terms exactly like
+    * the engine's disjunctive accumulator (+0.0 init is bit-neutral for
+    * the positive contributions). */
+  def oracleSqlPrefixTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = PrefixQuerySet.map { case (qid, prefix) =>
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round(raw, 4) AS score,
+         |         row_number() OVER (ORDER BY round(raw, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+         |    FROM scored WHERE term LIKE '$prefix%'
+         |    GROUP BY docID
          |  )
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")

@@ -1054,6 +1054,52 @@ final class QueryEngine(
       }
     }
 
+  /** Expand a term prefix to every dictionary term starting with it
+    * (distinct ascending). Small-vocab path: an in-memory sweep of the
+    * pinned dictionaries. Big-vocab fallback: a `startsWith` dictionary
+    * scan — the dictionary is written term-sorted (Index stage 3), so
+    * the StringStartsWith filter prunes to the parquet row groups whose
+    * term min/max straddle the prefix. `cap` bounds the expansion: an
+    * unselective prefix over a web-scale vocabulary ("a*") would turn
+    * one query into thousands of posting lists — the caller must narrow
+    * it rather than the engine silently scanning the corpus. */
+  def expandPrefix(prefix: String, cap: Int = 64): Seq[String] = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty, "empty prefix")
+    val expanded = (dictCaches match {
+      case Some(ms) => ms.flatMap(_.keysIterator.filter(_.startsWith(p)))
+      case None => indexDirs.flatMap { d =>
+        Index.readDictionary(spark, d)
+          .filter(col("term").startsWith(p))
+          .select(col("term")).as[String]
+          .take(cap + 1).toSeq
+      }
+    }).distinct.sorted
+    require(expanded.size <= cap,
+      s"prefix '$p' expands to ${expanded.size} terms (cap $cap) — narrow it")
+    expanded
+  }
+
+  /** Prefix retrieval: the prefix expands to every dictionary term
+    * starting with it ([[expandPrefix]]) and runs with OR semantics over
+    * the expansion — score = ordered sum of the contributions of the
+    * expansion terms the doc contains. Expansion terms are plain
+    * analyzer tokens, so they re-enter the normal query pipeline
+    * verbatim and ride every existing physical path and cache. */
+  def topKPrefix(prefix: String, k: Int = Bm25.K, rounded: Boolean = false,
+                 cap: Int = 64): DataFrame = {
+    val terms = expandPrefix(prefix, cap)
+    if (terms.isEmpty) Seq.empty[(Long, Double)].toDF("docID", "score")
+    else topKImpl(terms.mkString(" "), k, rounded, orMode = true)
+  }
+
+  /** Driver-contract frame over the fixed PREFIX query set
+    * ([[Bm25.PrefixQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllPrefix(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.PrefixQuerySet.map { case (qid, prefix) =>
+      qid -> topKPrefix(prefix, k, rounded = true)
+    })
+
   /** Top-k (docID, score) for a query string; AND semantics; empty
     * result if any term is absent (or the query has no terms). Score is
     * exact in exact mode, rounded to 4 decimals in rounded mode; order

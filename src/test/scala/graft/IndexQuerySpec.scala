@@ -370,6 +370,43 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[Exception] { engine.topKWindow("table hash", 4).collect() }
   }
 
+  test("prefix: rank-identity vs exact prefix oracle (every prefix query)") {
+    built
+    for ((qid, prefix) <- Bm25.PrefixQuerySet) {
+      val oracle = collectTopK(Bm25.oraclePrefixTopKExact(spark, sfDir, prefix))
+      val indexed = collectTopK(engine.topKPrefix(prefix, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid '$prefix*': prefix ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+    }
+  }
+
+  test("prefix: rounded driver-contract frame matches brute-force prefix oracle") {
+    built
+    val oracle = Bm25.oraclePrefixTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAllPrefix().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("prefix: expansion semantics — exact-term ≡ OR, absent ∅, cap enforced") {
+    built
+    // expansion of an exact full term behaves like the plain OR query
+    assert(collectTopK(engine.topKPrefix("window")) ==
+      collectTopK(engine.topKOr("window")))
+    // absent prefix → empty, no error
+    assert(collectTopK(engine.topKPrefix("zz")).isEmpty)
+    // expansion list is the sorted dictionary range
+    assert(engine.expandPrefix("s") ==
+      Seq("scan", "slow", "small", "sort", "spark", "stream"))
+    // cap guards unselective prefixes
+    intercept[IllegalArgumentException] { engine.topKPrefix("s", cap = 3) }
+    // prefix result covers every doc any expansion term matches (OR ⊇)
+    val viaOr = collectTopK(engine.topKOr("data dup", k = 1000)).map(_._1).toSet
+    assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
+  }
+
   test("windowMatch kernel cases") {
     import QueryEngine.windowMatch
     val byTerm = Map(
