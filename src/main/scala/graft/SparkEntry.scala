@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Crawl, Dedup, Index, Media, Metrics, QueryEngine, Similarity, SubstringSearch, TextStats}
+import graft.operators.{Bm25, Crawl, Dedup, Index, Media, Metrics, QueryEngine, Similarity, Snippets, SubstringSearch, TextStats}
 import graft.streaming.{Events, IncrementalIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +69,16 @@ object SparkEntry {
     Index.build(spark, sfDir, indexDir,
       Index.BuildParams(storePositions = true))
     new QueryEngine(spark, Seq(indexDir)).topKAllPhrase()
+  }
+
+  /** Query-focused snippets for the fixed query set's top-k: indexed
+    * ranking, then fetch-by-id of the result docs and a codegen'd
+    * best-window argmax + highlight (operators.Snippets). */
+  def indexedSnippets(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    val ranked = new QueryEngine(spark, Seq(indexDir)).topKAll()
+    Snippets.searchSnippets(spark, Corpus.docs(spark, sfDir), ranked)
   }
 
   /** Prefix retrieval: each fixed prefix expands against the dictionary
@@ -156,6 +166,9 @@ object SparkEntry {
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
+
+    // -- query-focused snippets over the top-k result docs
+    "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
 
     // -- prefix BM25: dictionary expansion, OR semantics over expansion
     "bm25_prefix_oracle" -> ((s, dir) => Bm25.oraclePrefixTopK(s, dir)),
@@ -285,6 +298,7 @@ object SparkEntry {
     "bm25_window_indexed" -> Bm25.oracleSqlWindowTopK(),
     "bm25_prefix_oracle" -> Bm25.oracleSqlPrefixTopK(),
     "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
+    "search_snippets" -> Snippets.searchSnippetsSql(),
 
     "substring_search" -> SubstringSearch.oracleSql,
 

@@ -407,6 +407,47 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
   }
 
+  test("snippets: argmax window, tie-break, highlight, short-doc clamp") {
+    import graft.operators.Snippets
+    import spark.implicits._
+    val docs = Seq(
+      // best L=3 window is [z, join, hash] at start 4 (cov 2 beats cov 1)
+      (1L, "x hash y z join hash k"),
+      // tie on coverage (both windows cov 1) → earliest start wins
+      (2L, "hash a b c hash d e"),
+      // shorter than L → single start, clamped slice = whole doc
+      (3L, "join hash")
+    ).toDF("docID", "content")
+    val toks = docs.select(col("docID"),
+      graft.functions.Analyzer.tokensCol(col("content")).as("toks"))
+    val out = toks
+      .withColumn("start", Snippets.bestStart(col("toks"), Seq("hash", "join"), 3))
+      .withColumn("snippet",
+        Snippets.snippetCol(col("toks"), col("start"), Seq("hash", "join"), 3))
+      .select(col("docID"), col("start"), col("snippet"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == (4L, "z [join] [hash]"))
+    assert(out(2L) == (1L, "[hash] a b"))
+    assert(out(3L) == (1L, "[join] [hash]"))
+  }
+
+  test("snippets: every contract row carries a highlighted query term") {
+    built
+    val snips = graft.operators.Snippets.searchSnippets(
+      spark, Corpus.docs(spark, sfDir), engine.topKAll())
+    val rows = snips.collect()
+    assert(rows.nonEmpty)
+    val ranked = engine.topKAll().select("query", "rank", "docID")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // one snippet per ranked hit, and AND semantics guarantee a highlight
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      == ranked)
+    rows.foreach { r =>
+      assert(r.getString(3).contains("["),
+        s"${r.getString(0)} rank ${r.getInt(1)}: no highlighted term in '${r.getString(3)}'")
+    }
+  }
+
   test("windowMatch kernel cases") {
     import QueryEngine.windowMatch
     val byTerm = Map(
