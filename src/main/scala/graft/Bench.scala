@@ -237,7 +237,40 @@ object Bench {
       }.sorted
       def ppct(p: Double) = lats(
         math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1).max(0))
-      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"""
+      // proximity (window) latency rides the same positional engine
+      Bm25.WindowQuerySet.foreach { case (_, q, w) =>
+        pengine.topKWindow(q, w, rounded = true).collect()
+      }
+      val wlats = Bm25.WindowQuerySet.map { case (_, q, w) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          pengine.topKWindow(q, w, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def wpct(p: Double) = wlats(
+        math.min(wlats.length - 1, math.ceil(p * wlats.length).toInt - 1).max(0))
+      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"""
+    }
+
+    // prefix latency (peak child only): dictionary expansion + OR WAND
+    // on the non-positional engine
+    val prefixJson = if (!phrase) "" else {
+      Bm25.PrefixQuerySet.foreach { case (_, p) =>
+        engine.topKPrefix(p, rounded = true).collect()
+      }
+      val plats = Bm25.PrefixQuerySet.map { case (_, p) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKPrefix(p, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def xpct(p: Double) = plats(
+        math.min(plats.length - 1, math.ceil(p * plats.length).toInt - 1).max(0))
+      f""""prefix_p50_ms":${xpct(0.5)}%.3f,"prefix_p95_ms":${xpct(0.95)}%.3f,"""
     }
 
     // pipeline-tier throughput (VERDICT r3 #6): one timed minhash-LSH
@@ -266,7 +299,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$prefixJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -419,6 +452,7 @@ object Bench {
     val counters = Seq("host_ext_busy_frac", "host_steal_frac", "loadavg",
         "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
+        "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
         "decon_sec", "decon_docs_per_sec", "decon_flagged",
         "build_postings", "build_segments", "build_encoded_bytes",

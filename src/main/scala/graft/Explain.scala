@@ -77,6 +77,36 @@ object Explain {
             .select(col("docID")))
       })
 
+    val posDir = "/tmp/graft/explain_index_pos"
+    Index.build(spark, sfDir, posDir,
+      Index.BuildParams(storePositions = true))
+    show("indexed BM25 top-k, proximity window (scan path, physical)",
+      "Expect: IDENTICAL shape to the AND scan path — no Exchange before " +
+        "the WAND mapPartitions, one TakeOrderedAndProject. The window " +
+        "gate is a per-candidate positional sweep inside the kernel, " +
+        "adding zero operators.",
+      new QueryEngine(spark, Seq(posDir), localWandUpTo = 0L)
+        .topKWindow("hash join", 8))
+
+    show("indexed BM25 top-k, prefix expansion (scan path, physical)",
+      "Expect: SAME shape as multi-term OR — the expansion happened " +
+        "driver-side against the pinned dictionary (no job), and the " +
+        "expanded terms run the ordinary OR scan path: no per-query " +
+        "Exchange, one TakeOrderedAndProject.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topKPrefix("s"))
+
+    show("search snippets (fetch-by-id + codegen argmax)",
+      "Expect: the corpus scan carries PushedFilters: In(doc_id, [...]) " +
+        "— the ≤ k·|Q| result ids, never a full read; the window argmax " +
+        "and highlight are Project-only expressions (no UDF, no extra " +
+        "Exchange beyond the presentation orderBy).",
+      {
+        val eng = new QueryEngine(spark, Seq(indexDir))
+        graft.operators.Snippets.searchSnippets(
+          spark, Corpus.docs(spark, sfDir), eng.topKAll())
+      })
+
     show("indexed BM25 top-k (driver-local fast path)",
       "Expect: LocalTableScan ONLY — the WAND kernel already ran on the " +
         "driver against cached segments + local norms; collect() " +

@@ -448,6 +448,24 @@ class IndexQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("monotoneGate: gallop cursor == binary search under non-decreasing probes") {
+    val rnd = new scala.util.Random(42)
+    val ids = Array.iterate(0L, 5000)(x => x + 1 + rnd.nextInt(20)).map(_ * 3)
+    // non-decreasing probe sequence with repeats and gaps
+    val probes = Array.iterate(0L, 20000)(x => x + rnd.nextInt(4)).sorted
+    for (neg <- Seq(false, true)) {
+      val g = QueryEngine.monotoneGate(ids, neg)
+      probes.foreach { p =>
+        val expected = (java.util.Arrays.binarySearch(ids, p) >= 0) != neg
+        assert(g(p) == expected, s"probe $p neg=$neg")
+      }
+    }
+    // empty gate
+    val ge = QueryEngine.monotoneGate(Array.emptyLongArray, false)
+    assert(!ge(7L))
+    assert(QueryEngine.monotoneGate(Array.emptyLongArray, true)(7L))
+  }
+
   test("windowMatch kernel cases") {
     import QueryEngine.windowMatch
     val byTerm = Map(
