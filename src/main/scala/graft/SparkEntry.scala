@@ -90,6 +90,14 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPrefix()
   }
 
+  /** Fuzzy retrieval: each fixed query term expands to its
+    * Levenshtein-≤-1 dictionary neighborhood, then OR semantics. */
+  def indexedFuzzyTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllFuzzy()
+  }
+
   /** Proximity (window) retrieval over the positional index: each fixed
     * query's terms must co-occur within its w-token window. */
   def indexedWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -173,6 +181,10 @@ object SparkEntry {
     // -- prefix BM25: dictionary expansion, OR semantics over expansion
     "bm25_prefix_oracle" -> ((s, dir) => Bm25.oraclePrefixTopK(s, dir)),
     "bm25_prefix_indexed" -> ((s, dir) => indexedPrefixTopK(s, dir)),
+
+    // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
+    "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
+    "bm25_fuzzy_indexed" -> ((s, dir) => indexedFuzzyTopK(s, dir)),
 
     // -- proximity (window) BM25: all terms within w consecutive tokens
     "bm25_window_oracle" -> ((s, dir) => Bm25.oracleWindowTopK(s, dir)),
@@ -298,6 +310,8 @@ object SparkEntry {
     "bm25_window_indexed" -> Bm25.oracleSqlWindowTopK(),
     "bm25_prefix_oracle" -> Bm25.oracleSqlPrefixTopK(),
     "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
+    "bm25_fuzzy_oracle" -> Bm25.oracleSqlFuzzyTopK(),
+    "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
     "search_snippets" -> Snippets.searchSnippetsSql(),
 
     "substring_search" -> SubstringSearch.oracleSql,

@@ -89,6 +89,22 @@ object Bm25 {
     ("x07", "b"),
   )
 
+  /** Fixed fuzzy query set (FIXTURES.md §15): each query is one possibly
+    * misspelled term; it expands to every dictionary term within
+    * Levenshtein distance 1 and runs with OR semantics over the
+    * expansion (same ordered-fold scoring as prefix). Covers: deletion
+    * typo, TWO-term expansion (sow → row, slow), exact term (dist 0),
+    * absent (∅), truncation, substitution, suffix-drop. */
+  val FuzzyQuerySet: Seq[(String, String)] = Seq(
+    ("z01", "hsh"),
+    ("z02", "sow"),
+    ("z03", "query"),
+    ("z04", "zzzz"),
+    ("z05", "dat"),
+    ("z06", "pert"),
+    ("z07", "batc"),
+  )
+
   /** Fixed boolean-NOT query set (`-piece` = negated): common neg,
     * stop-word-sized neg posting list, absent neg (≡ plain AND), two
     * negs, self-negation (∅ by construction), stop-word driver with a
@@ -558,6 +574,67 @@ object Bm25 {
       .select(col("docID"), col("score"))
   }
 
+  /** Brute-force fuzzy BM25 top-k over [[FuzzyQuerySet]]: every corpus
+    * term within Levenshtein distance 1 of the query contributes with OR
+    * semantics; scoring is the same ascending-term ordered fold as
+    * [[oraclePrefixTopK]] (bit-identical to the engine and the DuckDB
+    * `list_reduce` twin). */
+  def oracleFuzzyTopK(spark: SparkSession, sfDir: String, k: Int = K,
+                      maxDist: Int = 1): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = FuzzyQuerySet.map { case (qid, q) =>
+      scored
+        .filter(levenshtein(col("term"), lit(q)) <= maxDist)
+        .groupBy(col("docID"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("raw"))
+        .withColumn("score", round(col("raw"), 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score fuzzy variant for internal rank-identity tests. */
+  def oracleFuzzyTopKExact(spark: SparkSession, sfDir: String, q: String,
+                           k: Int = K, maxDist: Int = 1): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    tf.join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .filter(levenshtein(col("term"), lit(q)) <= maxDist)
+      .groupBy(col("docID"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score phrase variant for internal rank-identity tests. */
   def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
                             k: Int = K): DataFrame = {
@@ -882,6 +959,48 @@ object Bm25 {
          |    SELECT docID,
          |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
          |    FROM scored WHERE term LIKE '$prefix%'
+         |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleFuzzyTopK]]: the prefix twin with the
+    * expansion predicate swapped to `levenshtein(term, q) <= 1`
+    * (classic edit distance in both engines), same ordered fold. */
+  def oracleSqlFuzzyTopK(k: Int = K, maxDist: Int = 1): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = FuzzyQuerySet.map { case (qid, q) =>
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round(raw, 4) AS score,
+         |         row_number() OVER (ORDER BY round(raw, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+         |    FROM scored WHERE levenshtein(term, '$q') <= $maxDist
          |    GROUP BY docID
          |  )
          |) WHERE rank <= $k)""".stripMargin

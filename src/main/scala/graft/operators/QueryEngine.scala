@@ -278,6 +278,29 @@ object QueryEngine {
           segs, ts, lenOf, av, lo, hi, k, rnd)
       }
 
+  /** Classic Levenshtein distance (unit insert/delete/substitute) — the
+    * in-memory twin of Spark's and DuckDB's `levenshtein`, used by the
+    * pinned-dictionary fuzzy expansion so all three paths agree. Two-row
+    * DP, O(|a|·|b|) time, O(min) space. */
+  def editDistance(a: String, b: String): Int = {
+    val (s, t) = if (a.length < b.length) (a, b) else (b, a)
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var i = 1
+      while (i <= s.length) {
+        val sub = prev(i - 1) + (if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1)
+        cur(i) = math.min(sub, math.min(prev(i) + 1, cur(i - 1) + 1))
+        i += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(s.length)
+  }
+
   /** Membership gate over a sorted docID array for ONE kernel
     * invocation: kernels probe gates at NON-DECREASING candidates (the
     * same contract [[negatedGate]]'s anti iterators rely on), so a
@@ -1116,6 +1139,50 @@ final class QueryEngine(
       s"prefix '$p' expands to ${expanded.size} terms (cap $cap) — narrow it")
     expanded
   }
+
+  /** Expand a (possibly misspelled) term to every dictionary term within
+    * Levenshtein distance `maxDist` (distinct ascending). Small-vocab
+    * path: an in-memory sweep of the pinned dictionaries. Big-vocab
+    * fallback: a full dictionary scan with the codegen'd `levenshtein`
+    * filter — edit distance has no sortable prefix to push down, but the
+    * dictionary is only ~log(corpus) rows and the scan is embarrassingly
+    * parallel, the honest cost of fuzzy lookup at scale. `cap` bounds
+    * the expansion exactly like [[expandPrefix]]. */
+  def expandFuzzy(term: String, maxDist: Int = 1, cap: Int = 64): Seq[String] = {
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "empty term")
+    val expanded = (dictCaches match {
+      case Some(ms) => ms.flatMap(
+        _.keysIterator.filter(QueryEngine.editDistance(_, q) <= maxDist))
+      case None => indexDirs.flatMap { d =>
+        Index.readDictionary(spark, d)
+          .filter(levenshtein(col("term"), lit(q)) <= maxDist)
+          .select(col("term")).as[String]
+          .take(cap + 1).toSeq
+      }
+    }).distinct.sorted
+    require(expanded.size <= cap,
+      s"fuzzy '$q' (dist ≤ $maxDist) expands to ${expanded.size} terms (cap $cap)")
+    expanded
+  }
+
+  /** Fuzzy retrieval: the query term expands to its Levenshtein-≤-1
+    * dictionary neighborhood ([[expandFuzzy]]) and runs with OR
+    * semantics over the expansion — identical scoring/path story to
+    * [[topKPrefix]]. */
+  def topKFuzzy(term: String, k: Int = Bm25.K, rounded: Boolean = false,
+                maxDist: Int = 1, cap: Int = 64): DataFrame = {
+    val terms = expandFuzzy(term, maxDist, cap)
+    if (terms.isEmpty) Seq.empty[(Long, Double)].toDF("docID", "score")
+    else topKImpl(terms.mkString(" "), k, rounded, orMode = true)
+  }
+
+  /** Driver-contract frame over the fixed FUZZY query set
+    * ([[Bm25.FuzzyQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllFuzzy(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.FuzzyQuerySet.map { case (qid, q) =>
+      qid -> topKFuzzy(q, k, rounded = true)
+    })
 
   /** Prefix retrieval: the prefix expands to every dictionary term
     * starting with it ([[expandPrefix]]) and runs with OR semantics over
