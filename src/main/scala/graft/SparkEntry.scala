@@ -90,6 +90,15 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPrefix()
   }
 
+  /** Total-hits counts (AND + OR) for every fixed query — the "About N
+    * results" aggregate, computed from posting intersections without
+    * scoring or materializing matches. */
+  def indexedMatchCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).matchCountsAll()
+  }
+
   /** Fuzzy retrieval: each fixed query term expands to its
     * Levenshtein-≤-1 dictionary neighborhood, then OR semantics. */
   def indexedFuzzyTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -181,6 +190,9 @@ object SparkEntry {
     // -- prefix BM25: dictionary expansion, OR semantics over expansion
     "bm25_prefix_oracle" -> ((s, dir) => Bm25.oraclePrefixTopK(s, dir)),
     "bm25_prefix_indexed" -> ((s, dir) => indexedPrefixTopK(s, dir)),
+
+    // -- total-hits counts per query (AND + OR), no scoring
+    "match_counts" -> ((s, dir) => indexedMatchCounts(s, dir)),
 
     // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
@@ -312,6 +324,7 @@ object SparkEntry {
     "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
     "bm25_fuzzy_oracle" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
+    "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),
 
     "substring_search" -> SubstringSearch.oracleSql,

@@ -966,6 +966,32 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
   }
 
+  /** DuckDB twin of the engine's total-hits counts
+    * (`QueryEngine.matchCountsAll`): per query, the number of docs
+    * containing ALL terms (AND) and ANY term (OR) — pure relational
+    * counting over the tf CTE, no scoring involved. */
+  def oracleSqlMatchCounts(): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term FROM tok GROUP BY docID, term
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query,
+         |  CAST((SELECT count(*) FROM (
+         |    SELECT docID FROM tf WHERE term IN ($inList)
+         |    GROUP BY docID HAVING count(*) = ${terms.size})) AS BIGINT) AS n_docs,
+         |  CAST((SELECT count(DISTINCT docID) FROM tf
+         |        WHERE term IN ($inList)) AS BIGINT) AS n_docs_or)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query"
+  }
+
   /** DuckDB twin of [[oracleFuzzyTopK]]: the prefix twin with the
     * expansion predicate swapped to `levenshtein(term, q) <= 1`
     * (classic edit distance in both engines), same ordered fold. */

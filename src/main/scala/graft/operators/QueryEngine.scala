@@ -528,6 +528,75 @@ object QueryEngine {
     out.result()
   }
 
+  /** Count matching docs in [lo, hi) WITHOUT scoring, norms lookups or
+    * materializing matches — the "total hits" aggregate of a search
+    * service. AND mode: alignment sweep led by `terms(0)` (callers on
+    * the scan path MUST pass the task-local driver term first — every
+    * AND match contains it, so per-task counts partition cleanly across
+    * tasks holding disjoint driver segments). OR mode: distinct-doc
+    * sort-merge over the present terms. Memory O(#terms); no top-k
+    * structure of any kind. */
+  def countRange(segsByTerm: Map[String, Array[PostingSegment]],
+                 terms: Array[String], avgdl: Double,
+                 lo: Long, hi: Long, orMode: Boolean): Long = {
+    if (orMode) {
+      val iters = terms.filter(segsByTerm.contains)
+        .map(t => new PostingListIterator(segsByTerm(t), avgdl))
+      if (iters.isEmpty) return 0L
+      iters.foreach(_.advance(lo))
+      var count = 0L
+      var running = true
+      while (running) {
+        var min = Long.MaxValue
+        var i = 0
+        while (i < iters.length) {
+          val it = iters(i)
+          if (!it.exhausted && it.docID < min) min = it.docID
+          i += 1
+        }
+        if (min == Long.MaxValue || min >= hi) running = false
+        else {
+          count += 1
+          i = 0
+          while (i < iters.length) {
+            val it = iters(i)
+            if (!it.exhausted && it.docID == min) it.advance(min + 1)
+            i += 1
+          }
+        }
+      }
+      count
+    } else {
+      if (terms.isEmpty || terms.exists(t => !segsByTerm.contains(t)))
+        return 0L
+      val iters = terms.map(t => new PostingListIterator(segsByTerm(t), avgdl))
+      iters.foreach(_.advance(lo))
+      if (iters.exists(_.exhausted)) return 0L
+      var count = 0L
+      var candidate = iters(0).docID
+      var running = true
+      while (running && candidate < hi) {
+        var matched = true
+        var bump = candidate
+        var i = 1
+        while (matched && i < iters.length) {
+          val it = iters(i)
+          it.advance(candidate)
+          if (it.exhausted) { running = false; matched = false }
+          else if (it.docID != candidate) { bump = it.docID; matched = false }
+          i += 1
+        }
+        if (running) {
+          if (matched) { count += 1; iters(0).advance(candidate + 1) }
+          else iters(0).advance(bump)
+          if (iters(0).exhausted) running = false
+          else candidate = iters(0).docID
+        }
+      }
+      count
+    }
+  }
+
   /** Disjunctive (OR-semantics) WAND over one docID range [lo, hi):
     * score = Σ contributions of the query terms PRESENT in the doc,
     * accumulated in ascending term order with absent terms contributing
@@ -1203,6 +1272,101 @@ final class QueryEngine(
     contractFrame(Bm25.PrefixQuerySet.map { case (qid, prefix) =>
       qid -> topKPrefix(prefix, k, rounded = true)
     })
+
+  /** Total-hits count for a query — the search service's "About N
+    * results" aggregate. Never scores, never touches norms, never
+    * materializes matches ([[QueryEngine.countRange]]). Driver-local
+    * when the query's postings are resident; otherwise the zero-shuffle
+    * scan path (AND: every match contains the task-local driver term,
+    * so per-task counts partition cleanly; OR: tasks count within their
+    * owned intervals from the driver range directory) — each task ships
+    * ONE long; beyond the side-broadcast cap, the per-query segment
+    * range shuffle. */
+  def countMatches(qtext: String, orMode: Boolean = false): Long = {
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return 0L
+    val perDir = lookupPerDir(terms)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (!orMode && combinedDf.size < terms.size) return 0L
+    if (combinedDf.isEmpty) return 0L
+    val presentTerms = combinedDf.keys.toSeq.sorted
+    val driverTerm = combinedDf.maxBy(_._2)._1
+    // scan-path invariant: the task-local driver term LEADS the AND sweep
+    val leaderFirst = (driverTerm +: presentTerms.filterNot(_ == driverTerm)).toArray
+    val totalDf = combinedDf.values.sum
+    val av = stats.avgdl
+    if (localWandUpTo > 0 && totalDf <= math.max(localWandUpTo, localParallelCap)) {
+      val byTerm = synchronized { localSegsFor(presentTerms, perDir) }
+      return QueryEngine.countRange(byTerm, leaderFirst, av, 0L, Long.MaxValue, orMode)
+    }
+    val sideDfSum = combinedDf.filter(_._1 != driverTerm).values.sum
+    val om = orMode
+    val lf = leaderFirst
+    val dt = driverTerm
+    if (sideDfSum <= broadcastPostingsUpTo) {
+      val para = spark.sparkContext.defaultParallelism
+      val sideBc = sideBroadcast(dt + "|" + presentTerms.mkString(",")) {
+        indexDirs.zip(perDir).flatMap { case (dir, es) =>
+          val se = es.filter(_.term != dt)
+          if (se.isEmpty) Nil
+          else segmentsOf(dir, se.map(_.term),
+            se.map(_.bucket).distinct).coalesce(para).collect().toSeq
+        }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
+      }
+      val rangeDir: (Array[Long], Array[Long]) =
+        if (om && presentTerms.length > 1) driverRangeDir(dt, perDir) else null
+      val driverSegs = indexDirs.zip(perDir)
+        .filter(_._2.exists(_.term == dt))
+        .map { case (dir, es) =>
+          segmentsOf(dir, Seq(dt), es.filter(_.term == dt).map(_.bucket).distinct)
+        }
+        .reduce(_ union _)
+        .coalesce(para)
+      driverSegs.mapPartitions { it =>
+        val mySegs = it.toArray
+        if (mySegs.isEmpty) Iterator.single(0L)
+        else {
+          val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
+          if (rangeDir == null)
+            Iterator.single(QueryEngine.countRange(
+              byTerm, lf, av, 0L, Long.MaxValue, om))
+          else Iterator.single(
+            QueryEngine.ownedIntervals(mySegs, rangeDir._1, rangeDir._2)
+              .map { case (lo, hi) =>
+                QueryEngine.countRange(byTerm, lf, av, lo, hi, om) }.sum)
+        }
+      }.reduce(_ + _)
+    } else {
+      // per-query segment shuffle — the honest fallback when the side
+      // terms outgrow the broadcast budget
+      val nr = math.max(1L, math.min(numRanges.toLong,
+        totalDf / 100_000L + 1)).toInt
+      val rs = math.max(1L, (stats.maxDoc + nr) / nr)
+      val segs = indexDirs.zip(perDir)
+        .filter(_._2.nonEmpty)
+        .map { case (dir, es) =>
+          segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
+        }
+        .reduce(_ union _)
+      segs.flatMap { s =>
+        ((s.minDoc / rs).toInt to (s.maxDoc / rs).toInt)
+          .map(r => RangedSeg(r, s))
+      }.groupByKey(_.rangeId).mapGroups { (rid, it) =>
+        val byTerm = it.map(_.seg).toArray.groupBy(_.term)
+          .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+        val lo = rid.toLong * rs
+        QueryEngine.countRange(byTerm, lf, av, lo, lo + rs, om)
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Driver-contract frame over the fixed query set: (query, n_docs,
+    * n_docs_or) — AND and OR total-hit counts per query. */
+  def matchCountsAll(): DataFrame =
+    Bm25.QuerySet.map { case (qid, q) =>
+      (qid, countMatches(q), countMatches(q, orMode = true))
+    }.toDF("query", "n_docs", "n_docs_or").orderBy(col("query"))
 
   /** Top-k (docID, score) for a query string; AND semantics; empty
     * result if any term is absent (or the query has no terms). Score is

@@ -497,6 +497,49 @@ class IndexQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("countMatches: every path equals the exhaustive match count (AND + OR)") {
+    built
+    // exhaustive expectation: score-all top-k with a huge k
+    def expectAnd(q: String) = collectTopK(engine.topK(q, k = 1000000)).size.toLong
+    def expectOr(q: String) = collectTopK(engine.topKOr(q, k = 1000000)).size.toLong
+    val scanEng = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val rangeEng = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, q) <- Bm25.QuerySet) {
+      val (ea, eo) = (expectAnd(q), expectOr(q))
+      assert(engine.countMatches(q) == ea, s"$qid AND local")
+      assert(engine.countMatches(q, orMode = true) == eo, s"$qid OR local")
+      assert(scanEng.countMatches(q) == ea, s"$qid AND scan")
+      assert(scanEng.countMatches(q, orMode = true) == eo, s"$qid OR scan")
+      assert(rangeEng.countMatches(q) == ea, s"$qid AND range")
+      assert(rangeEng.countMatches(q, orMode = true) == eo, s"$qid OR range")
+    }
+    assert(engine.countMatches("") == 0L)
+    assert(engine.countMatches("zzzzunknown", orMode = true) == 0L)
+  }
+
+  test("window/fuzzy: path identity across local, scan and range paths") {
+    val posDir = "target/test-index-pos-sf0001"
+    posEngine // force the positional build
+    val scanP = new QueryEngine(spark, Seq(posDir), localWandUpTo = 0L)
+    val rangeP = new QueryEngine(spark, Seq(posDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, qtext, w) <- Bm25.WindowQuerySet) {
+      val ref = collectTopK(posEngine.topKWindow(qtext, w))
+      assert(collectTopK(scanP.topKWindow(qtext, w)) == ref, s"$qid scan")
+      assert(collectTopK(rangeP.topKWindow(qtext, w)) == ref, s"$qid range")
+    }
+    built
+    val scanE = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val rangeE = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, q) <- Bm25.FuzzyQuerySet) {
+      val ref = collectTopK(engine.topKFuzzy(q))
+      assert(collectTopK(scanE.topKFuzzy(q)) == ref, s"$qid scan")
+      assert(collectTopK(rangeE.topKFuzzy(q)) == ref, s"$qid range")
+    }
+  }
+
   test("monotoneGate: gallop cursor == binary search under non-decreasing probes") {
     val rnd = new scala.util.Random(42)
     val ids = Array.iterate(0L, 5000)(x => x + 1 + rnd.nextInt(20)).map(_ * 3)
