@@ -99,6 +99,28 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).matchCountsAll()
   }
 
+  /** Per-facet hit counts — the facet-navigation sidebar ("lang:en
+    * (1,234)"): one gated count per (query, lang), each facet gate
+    * prepared ONCE and reused across all queries; zero-hit facet values
+    * omitted (matching the SQL twin's inner join). */
+  def indexedFacetCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    val docs = Corpus.docs(spark, sfDir)
+    val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+    val facets = langs.map(l =>
+      l -> eng.prepareFilter(docs.filter(col("lang") === l).select(col("docID"))))
+    val rows = for {
+      (qid, q) <- Bm25.QuerySet
+      (lang, facet) <- facets
+      n = eng.countMatchesFiltered(q, facet)
+      if n > 0
+    } yield (qid, lang, n)
+    rows.toDF("query", "lang", "n_docs").orderBy(col("query"), col("lang"))
+  }
+
   /** Fuzzy retrieval: each fixed query term expands to its
     * Levenshtein-≤-1 dictionary neighborhood, then OR semantics. */
   def indexedFuzzyTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -193,6 +215,9 @@ object SparkEntry {
 
     // -- total-hits counts per query (AND + OR), no scoring
     "match_counts" -> ((s, dir) => indexedMatchCounts(s, dir)),
+
+    // -- per-facet hit counts (facet-navigation sidebar)
+    "facet_counts" -> ((s, dir) => indexedFacetCounts(s, dir)),
 
     // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
@@ -325,6 +350,7 @@ object SparkEntry {
     "bm25_fuzzy_oracle" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
+    "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),
 
     "substring_search" -> SubstringSearch.oracleSql,

@@ -992,6 +992,31 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query"
   }
 
+  /** DuckDB twin of the engine's per-facet hit counts
+    * (`SparkEntry.indexedFacetCounts`): per query, matching docs grouped
+    * by lang — facet values with zero hits are absent on both sides. */
+  def oracleSqlFacetCounts(): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term FROM tok GROUP BY docID, term
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query, d.lang AS lang,
+         |        CAST(count(*) AS BIGINT) AS n_docs
+         | FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |       GROUP BY docID HAVING count(*) = ${terms.size}) m
+         | JOIN documents d ON d.doc_id = m.docID
+         | GROUP BY d.lang)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, lang"
+  }
+
   /** DuckDB twin of [[oracleFuzzyTopK]]: the prefix twin with the
     * expansion predicate swapped to `levenshtein(term, q) <= 1`
     * (classic edit distance in both engines), same ordered fold. */

@@ -538,7 +538,10 @@ object QueryEngine {
     * structure of any kind. */
   def countRange(segsByTerm: Map[String, Array[PostingSegment]],
                  terms: Array[String], avgdl: Double,
-                 lo: Long, hi: Long, orMode: Boolean): Long = {
+                 lo: Long, hi: Long, orMode: Boolean,
+                 // optional candidate gate (facet counts); probed at
+                 // non-decreasing docIDs, so monotone-cursor gates work
+                 allowed: Long => Boolean = null): Long = {
     if (orMode) {
       val iters = terms.filter(segsByTerm.contains)
         .map(t => new PostingListIterator(segsByTerm(t), avgdl))
@@ -556,7 +559,7 @@ object QueryEngine {
         }
         if (min == Long.MaxValue || min >= hi) running = false
         else {
-          count += 1
+          if (allowed == null || allowed(min)) count += 1
           i = 0
           while (i < iters.length) {
             val it = iters(i)
@@ -587,7 +590,10 @@ object QueryEngine {
           i += 1
         }
         if (running) {
-          if (matched) { count += 1; iters(0).advance(candidate + 1) }
+          if (matched) {
+            if (allowed == null || allowed(candidate)) count += 1
+            iters(0).advance(candidate + 1)
+          }
           else iters(0).advance(bump)
           if (iters(0).exhausted) running = false
           else candidate = iters(0).docID
@@ -1282,7 +1288,27 @@ final class QueryEngine(
     * owned intervals from the driver range directory) — each task ships
     * ONE long; beyond the side-broadcast cap, the per-query segment
     * range shuffle. */
-  def countMatches(qtext: String, orMode: Boolean = false): Long = {
+  def countMatches(qtext: String, orMode: Boolean = false): Long =
+    countImpl(qtext, orMode, null)
+
+  /** Faceted total-hits count: [[countMatches]] restricted to a prepared
+    * [[Facet]] — the facet-navigation sidebar of a search service
+    * ("lang:en (1,234)") computed per facet value with zero match
+    * materialization. The facet must resolve to a broadcast gate (or its
+    * negated complement); a facet too large for both caps has no bounded
+    * count shape — compact the deny set or count via the score-all path. */
+  def countMatchesFiltered(qtext: String, facet: Facet,
+                           orMode: Boolean = false): Long = {
+    require(facet.postFilter == null,
+      "facet exceeds both gate caps — no bounded count gate exists")
+    val gb = facet.gateBc
+    val neg = facet.negate
+    countImpl(qtext, orMode, () => QueryEngine.monotoneGate(gb.value, neg))
+  }
+
+  private def countImpl(qtext: String, orMode: Boolean,
+                        gateF: () => (Long => Boolean)): Long = {
+    def gate(): Long => Boolean = if (gateF == null) null else gateF()
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return 0L
     val perDir = lookupPerDir(terms)
@@ -1298,7 +1324,8 @@ final class QueryEngine(
     val av = stats.avgdl
     if (localWandUpTo > 0 && totalDf <= math.max(localWandUpTo, localParallelCap)) {
       val byTerm = synchronized { localSegsFor(presentTerms, perDir) }
-      return QueryEngine.countRange(byTerm, leaderFirst, av, 0L, Long.MaxValue, orMode)
+      return QueryEngine.countRange(byTerm, leaderFirst, av,
+        0L, Long.MaxValue, orMode, gate())
     }
     val sideDfSum = combinedDf.filter(_._1 != driverTerm).values.sum
     val om = orMode
@@ -1323,6 +1350,7 @@ final class QueryEngine(
         }
         .reduce(_ union _)
         .coalesce(para)
+      val gf = gateF
       driverSegs.mapPartitions { it =>
         val mySegs = it.toArray
         if (mySegs.isEmpty) Iterator.single(0L)
@@ -1330,11 +1358,13 @@ final class QueryEngine(
           val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
           if (rangeDir == null)
             Iterator.single(QueryEngine.countRange(
-              byTerm, lf, av, 0L, Long.MaxValue, om))
+              byTerm, lf, av, 0L, Long.MaxValue, om,
+              if (gf == null) null else gf()))
           else Iterator.single(
             QueryEngine.ownedIntervals(mySegs, rangeDir._1, rangeDir._2)
               .map { case (lo, hi) =>
-                QueryEngine.countRange(byTerm, lf, av, lo, hi, om) }.sum)
+                QueryEngine.countRange(byTerm, lf, av, lo, hi, om,
+                  if (gf == null) null else gf()) }.sum)
         }
       }.reduce(_ + _)
     } else {
@@ -1349,6 +1379,7 @@ final class QueryEngine(
           segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
         }
         .reduce(_ union _)
+      val gf = gateF
       segs.flatMap { s =>
         ((s.minDoc / rs).toInt to (s.maxDoc / rs).toInt)
           .map(r => RangedSeg(r, s))
@@ -1356,7 +1387,8 @@ final class QueryEngine(
         val byTerm = it.map(_.seg).toArray.groupBy(_.term)
           .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
         val lo = rid.toLong * rs
-        QueryEngine.countRange(byTerm, lf, av, lo, lo + rs, om)
+        QueryEngine.countRange(byTerm, lf, av, lo, lo + rs, om,
+          if (gf == null) null else gf())
       }.reduce(_ + _)
     }
   }

@@ -509,6 +509,11 @@ class IndexQuerySpec extends AnyFunSuite {
       val (ea, eo) = (expectAnd(q), expectOr(q))
       assert(engine.countMatches(q) == ea, s"$qid AND local")
       assert(engine.countMatches(q, orMode = true) == eo, s"$qid OR local")
+    }
+    // distributed paths on a representative subset (job-count economy,
+    // same pattern as the cogroup spec): multi-term, stop-word, absent
+    for ((qid, q) <- Bm25.QuerySet.take(3) :+ Bm25.QuerySet.find(_._1 == "q05").get) {
+      val (ea, eo) = (expectAnd(q), expectOr(q))
       assert(scanEng.countMatches(q) == ea, s"$qid AND scan")
       assert(scanEng.countMatches(q, orMode = true) == eo, s"$qid OR scan")
       assert(rangeEng.countMatches(q) == ea, s"$qid AND range")
@@ -516,6 +521,39 @@ class IndexQuerySpec extends AnyFunSuite {
     }
     assert(engine.countMatches("") == 0L)
     assert(engine.countMatches("zzzzunknown", orMode = true) == 0L)
+  }
+
+  test("countMatchesFiltered: gated counts == exhaustive filtered count, all paths + shapes") {
+    built
+    val even = Corpus.docs(spark, sfDir)
+      .filter(col("docID") % 2 === 0).select(col("docID"))
+    val ge3 = Corpus.docs(spark, sfDir)
+      .filter(col("docID") >= 3).select(col("docID"))
+    val negEng = new QueryEngine(spark, Seq(indexDir), filterBroadcastUpTo = 5)
+    val scanEng = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val evenIds = even.collect().map(_.getLong(0)).toSet
+    def expect(q: String, orMode: Boolean, ids: Set[Long]) =
+      collectTopK(if (orMode) engine.topKOr(q, k = 1000000)
+                  else engine.topK(q, k = 1000000))
+        .count(r => ids.contains(r._1)).toLong
+    val evenFacetL = engine.prepareFilter(even)
+    val evenFacetS = scanEng.prepareFilter(even)
+    val ge3Facet = negEng.prepareFilter(ge3) // forces the NEGATED-gate shape
+    val ge3Ids = ge3.collect().map(_.getLong(0)).toSet
+    for ((qid, q) <- Bm25.QuerySet) {
+      assert(engine.countMatchesFiltered(q, evenFacetL) ==
+        expect(q, orMode = false, evenIds), s"$qid AND local")
+      assert(engine.countMatchesFiltered(q, evenFacetL, orMode = true) ==
+        expect(q, orMode = true, evenIds), s"$qid OR local")
+    }
+    for ((qid, q) <- Bm25.QuerySet.take(3)) {
+      assert(scanEng.countMatchesFiltered(q, evenFacetS) ==
+        expect(q, orMode = false, evenIds), s"$qid AND scan")
+      assert(scanEng.countMatchesFiltered(q, evenFacetS, orMode = true) ==
+        expect(q, orMode = true, evenIds), s"$qid OR scan")
+      assert(negEng.countMatchesFiltered(q, ge3Facet) ==
+        expect(q, orMode = false, ge3Ids), s"$qid AND negated-gate")
+    }
   }
 
   test("window/fuzzy: path identity across local, scan and range paths") {
