@@ -260,6 +260,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
     "training_set" -> ((s, dir) => TextStats.trainingSet(s, dir)),
     "repetition_stats" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
+    "chunk_documents" -> ((s, dir) => TextStats.chunkDocuments(s, dir)),
     "pii_scrub" -> ((s, dir) => TextStats.piiScrub(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir, dumpOracle = true)),
     "clone_pairs" -> ((s, dir) => TextStats.clonePairs(s, dir, dumpOracle = true)),
@@ -381,6 +382,7 @@ object SparkEntry {
     "pack_sequences" -> TextStats.packSequencesSql(),
     "training_set" -> TextStats.trainingSetSql(),
     "repetition_stats" -> TextStats.repetitionStatsSql,
+    "chunk_documents" -> TextStats.chunkDocumentsSql(),
     "pii_scrub" -> TextStats.piiScrubSql,
     "media_features" -> Media.mediaFeaturesSql,
     "media_resize" -> Media.mediaResizeSql,

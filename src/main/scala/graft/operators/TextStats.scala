@@ -705,6 +705,52 @@ object TextStats {
     * O(n log n) per row, no explode/groupBy (an exploded bigram groupBy
     * would shuffle ~n rows per doc at 100 TB for a per-doc statistic).
     * Docs with < 2 analyzer tokens are excluded (no bigrams). */
+  /** Document chunking — the standard LLM-ingest splitter (distinct from
+    * [[packSequences]], which packs WHOLE docs into budgets): each doc's
+    * token stream is cut into fixed windows of `chunk` tokens starting
+    * every `stride` tokens (overlap = chunk − stride), tail chunks
+    * shorter. Deterministic contract: chunk k covers 1-based token
+    * positions [1 + k·stride, 1 + k·stride + chunk).
+    *
+    * Scale design: pure projection + explode of per-doc start offsets —
+    * no shuffle anywhere except the presentation sort. At 100 TB this is
+    * the map-side of the ingest pipeline; output partitioning follows
+    * the input's. */
+  def chunkDocuments(spark: SparkSession, sfDir: String,
+                     chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    Corpus.docs(spark, sfDir)
+      .select(col("docID"), Analyzer.tokensCol(col("content")).as("toks"))
+      .select(col("docID"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(stride))).as("start"))
+      .select(
+        col("docID"),
+        ((col("start") - 1) / lit(stride)).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("toks"), col("start"), lit(chunk))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start"), lit(chunk)), " ")
+          .as("chunk_text"))
+      .orderBy(col("docID"), col("chunk_id"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]] (same chunk/stride constants). */
+  def chunkDocumentsSql(chunk: Int = 64, stride: Int = 48): String =
+    s"""WITH tokarr AS (
+       |  SELECT doc_id AS docID,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                     t -> t <> '') AS toks
+       |  FROM documents
+       |)
+       |SELECT docID, CAST((i - 1) // $stride AS BIGINT) AS chunk_id,
+       |       CAST(i AS BIGINT) AS start_tok,
+       |       CAST(len(toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+${chunk - 1}]) AS BIGINT) AS n_tokens,
+       |       array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+${chunk - 1}], ' ') AS chunk_text
+       |FROM tokarr, unnest(range(1, greatest(len(toks), 1) + 1, $stride)) AS s(i)
+       |ORDER BY docID, chunk_id""".stripMargin
+
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Analyzer.tokensCol(col("content"))
     val n = size(col("toks"))

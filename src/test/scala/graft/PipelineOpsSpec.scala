@@ -12,6 +12,38 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.Sf0001
 
+  test("chunk_documents: coverage, stride/overlap geometry, tail clamp") {
+    val chunk = 8
+    val stride = 5
+    val toks = Corpus.docs(spark, dir)
+      .select(col("docID"), graft.functions.Analyzer.tokensCol(col("content")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = TextStats.chunkDocuments(spark, dir, chunk, stride).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == toks.keySet) // every doc chunked
+    byDoc.foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getLong(1) == k, s"doc $d chunk ids contiguous")
+        val start = r.getLong(2)
+        assert(start == 1 + k.toLong * stride)
+        val expect = toks(d).slice((start - 1).toInt,
+          (start - 1).toInt + chunk)
+        assert(r.getLong(3) == expect.length, s"doc $d chunk $k n_tokens")
+        assert(r.getString(4) == expect.mkString(" "), s"doc $d chunk $k text")
+      }
+      // geometry: starts tile the doc — last chunk reaches the end
+      val L = toks(d).length
+      val lastStart = sorted.last.getLong(2)
+      assert(lastStart + chunk - 1 >= L, s"doc $d tail covered")
+      assert(lastStart <= math.max(1, L), s"doc $d no out-of-range start")
+    }
+    // no shuffle except the presentation sort: single Exchange (range)
+    val plan = TextStats.chunkDocuments(spark, dir, chunk, stride)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+
   test("exact dedup: reps are group minima; non-dup corpus maps to itself") {
     val out = Dedup.exactDedup(spark, dir).collect()
     assert(out.length == 500)
