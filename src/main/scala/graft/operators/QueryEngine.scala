@@ -1324,8 +1324,21 @@ final class QueryEngine(
     val av = stats.avgdl
     if (localWandUpTo > 0 && totalDf <= math.max(localWandUpTo, localParallelCap)) {
       val byTerm = synchronized { localSegsFor(presentTerms, perDir) }
-      return QueryEngine.countRange(byTerm, leaderFirst, av,
-        0L, Long.MaxValue, orMode, gate())
+      if (totalDf <= localWandUpTo)
+        return QueryEngine.countRange(byTerm, leaderFirst, av,
+          0L, Long.MaxValue, orMode, gate())
+      // pooled count: shard the docID space exactly like the pooled WAND
+      // path (counts are additive over disjoint ranges); fresh gate per
+      // range — the monotone cursor is stateful
+      val nr = math.max(1L, math.min(4L * localThreads,
+        math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+      val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+      return (0 until nr).map { r =>
+        localPool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = QueryEngine.countRange(byTerm, leaderFirst, av,
+            r * rsz, (r + 1L) * rsz, orMode, gate())
+        })
+      }.map(_.get()).sum
     }
     val sideDfSum = combinedDf.filter(_._1 != driverTerm).values.sum
     val om = orMode

@@ -512,13 +512,21 @@ class IndexQuerySpec extends AnyFunSuite {
     }
     // distributed paths on a representative subset (job-count economy,
     // same pattern as the cogroup spec): multi-term, stop-word, absent
+    val pooledEng = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
     for ((qid, q) <- Bm25.QuerySet.take(3) :+ Bm25.QuerySet.find(_._1 == "q05").get) {
       val (ea, eo) = (expectAnd(q), expectOr(q))
       assert(scanEng.countMatches(q) == ea, s"$qid AND scan")
       assert(scanEng.countMatches(q, orMode = true) == eo, s"$qid OR scan")
       assert(rangeEng.countMatches(q) == ea, s"$qid AND range")
       assert(rangeEng.countMatches(q, orMode = true) == eo, s"$qid OR range")
+      // pooled driver-local count (serial threshold 1 → every non-empty
+      // query shards onto the thread pool)
+      assert(pooledEng.countMatches(q) == ea, s"$qid AND pooled")
+      assert(pooledEng.countMatches(q, orMode = true) == eo, s"$qid OR pooled")
     }
+    pooledEng.close()
     assert(engine.countMatches("") == 0L)
     assert(engine.countMatches("zzzzunknown", orMode = true) == 0L)
   }
