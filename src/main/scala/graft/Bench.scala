@@ -254,6 +254,23 @@ object Bench {
       f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"""
     }
 
+    // total-hits count latency (peak child only): the pooled/driver count
+    // kernel over the fixed query set, AND mode
+    val countJson = if (!phrase) "" else {
+      Bm25.QuerySet.foreach { case (_, q) => engine.countMatches(q) }
+      val clats = Bm25.QuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.countMatches(q)
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def cpct(p: Double) = clats(
+        math.min(clats.length - 1, math.ceil(p * clats.length).toInt - 1).max(0))
+      f""""count_p50_ms":${cpct(0.5)}%.3f,"count_p95_ms":${cpct(0.95)}%.3f,"""
+    }
+
     // prefix latency (peak child only): dictionary expansion + OR WAND
     // on the non-positional engine
     val prefixJson = if (!phrase) "" else {
@@ -299,7 +316,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$prefixJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$countJson$prefixJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -453,6 +470,7 @@ object Bench {
         "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
+        "count_p50_ms", "count_p95_ms",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
         "decon_sec", "decon_docs_per_sec", "decon_flagged",
         "build_postings", "build_segments", "build_encoded_bytes",

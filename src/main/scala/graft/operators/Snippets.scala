@@ -53,8 +53,11 @@ object Snippets {
     // bounded driver lookup (≤ k·|QuerySet| ids) → In() parquet pushdown
     val ids = hits.select(col("docID")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // cache the fetched rows (≤ k·|Q|): the per-query joins below would
+    // otherwise re-run the pruned fetch once per query
     val toks = docs.filter(col("docID").isin(ids: _*))
       .select(col("docID"), Analyzer.tokensCol(col("content")).as("toks"))
+      .cache()
     val perQuery = Bm25.QuerySet.map { case (qid, qtext) =>
       val terms = Analyzer.queryTerms(qtext)
       hits.filter(col("query") === qid)
