@@ -48,6 +48,16 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllNot()
   }
 
+  /** Search-after pagination: PAGE 2 (global ranks k+1 .. 2k) of the
+    * fixed query set — page 1 supplies the (score, docID) cursor, the
+    * engine's after-gate retrieves the next k inside the WAND kernels
+    * (QueryEngine.topKAfter; no take-2k-and-slice plan anywhere). */
+  def indexedTopKPage2(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllPage2()
+  }
+
   /** LSM deletes: tombstone docs (docID % 7 == 3), then run the fixed
     * query set with the tombstone deny facet applied — deleted docs
     * excluded from results, scoring stats as-built (Lucene deleted-doc
@@ -193,6 +203,10 @@ object SparkEntry {
     "bm25_topk_not_oracle" -> ((s, dir) => Bm25.oracleTopKNot(s, dir)),
     "bm25_topk_not_indexed" -> ((s, dir) => indexedTopKNot(s, dir)),
 
+    // -- search-after pagination: page 2 (ranks k+1..2k) via the
+    //    kernel-level after-cursor gate
+    "bm25_topk_page2" -> ((s, dir) => indexedTopKPage2(s, dir)),
+
     // -- LSM deletes: tombstoned docs (docID%7==3) excluded via the
     //    deny facet; stats as-built (Lucene deleted-doc semantics)
     "bm25_topk_deleted" -> ((s, dir) => indexedTopKDeleted(s, dir)),
@@ -336,6 +350,9 @@ object SparkEntry {
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_not_oracle" -> Bm25.oracleSqlTopKNot(),
     "bm25_topk_not_indexed" -> Bm25.oracleSqlTopKNot(),
+    // page 2 = global ranks k+1 .. 2k of the same brute ranking
+    "bm25_topk_page2" -> Bm25.oracleSqlTopK(
+      k = 2 * Bm25.K, rankLo = Bm25.K + 1),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(
       docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),
     "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),

@@ -707,7 +707,10 @@ object Bm25 {
                     // extra raw SQL predicate on the candidate docID
                     // (e.g. the tombstone-exclusion twin); appended to
                     // the per-query WHERE clause verbatim
-                    docPred: String = null): String = {
+                    docPred: String = null,
+                    // pagination twin: emit ranks in [rankLo, k] — page 2
+                    // of a k-deep ranking is (k+1, 2k). 1 = from the top.
+                    rankLo: Int = 1): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
@@ -751,7 +754,7 @@ object Bm25 {
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )
-         |) WHERE rank <= $k)""".stripMargin
+         |) WHERE rank BETWEEN $rankLo AND $k)""".stripMargin
     }.mkString("\n UNION ALL \n")
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
   }

@@ -232,16 +232,18 @@ object QueryEngine {
     * k). Pruning bounds stay admissible: the gate only REMOVES
     * candidates. */
   def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
-             gate: Long => Boolean):
+             gate: Long => Boolean,
+             afterKey: Double, afterDoc: Long):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if (orMode)
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
-        disjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, gate)
+        disjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, gate,
+          afterKey, afterDoc)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
         conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, posTerms,
-          windowW, gate)
+          windowW, gate, afterKey, afterDoc)
 
   /** NOT-aware kernel factory: negated terms become ANTI-POSTING
     * iterators composed into the candidate gate — a candidate aligned by
@@ -260,11 +262,12 @@ object QueryEngine {
     * gate across ranges (pooled threads, per-task interval lists) would
     * break it; this factory makes that impossible by construction. */
   def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
-             gateFactory: () => (Long => Boolean), negTerms: Array[String]):
+             gateFactory: () => (Long => Boolean), negTerms: Array[String],
+             afterKey: Double = Double.NaN, afterDoc: Long = 0L):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if ((negTerms == null || negTerms.isEmpty) && gateFactory == null)
-      kernel(posTerms, windowW, orMode, null)
+      kernel(posTerms, windowW, orMode, null, afterKey, afterDoc)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) => {
         // both gate shapes are STATEFUL cursors (monotone broadcast gate,
@@ -274,7 +277,7 @@ object QueryEngine {
         val g =
           if (negTerms == null || negTerms.isEmpty) base
           else negatedGate(base, negTerms, segs, av, lo)
-        kernel(posTerms, windowW, orMode, g)(
+        kernel(posTerms, windowW, orMode, g, afterKey, afterDoc)(
           segs, ts, lenOf, av, lo, hi, k, rnd)
       }
 
@@ -425,7 +428,16 @@ object QueryEngine {
       rounded: Boolean,
       phraseSeq: Array[String],
       windowW: Int,
-      allowed: Long => Boolean): Seq[ScoredDoc] = {
+      allowed: Long => Boolean,
+      // search-after cursor (pagination): a doc whose ranking key
+      // (rounded-or-exact score, docID) sorts AT OR BEFORE
+      // (afterKey desc, afterDoc asc) is on an earlier page and never
+      // enters the heap. afterKey = NaN disables (every comparison with
+      // NaN is false, so the skip test never fires). Pruning stays
+      // admissible: the cursor only REMOVES candidates, and the WAND
+      // threshold is still derived from the heap of ELIGIBLE docs.
+      afterKey: Double = Double.NaN,
+      afterDoc: Long = 0L): Seq[ScoredDoc] = {
     val n = termsSorted.length
     // containment, not size: segsByTerm may carry EXTRA entries (the
     // anti-posting lists of negated terms) beyond the scoring terms
@@ -507,11 +519,15 @@ object QueryEngine {
             i += 1
           }
           val key = keyOf(score)
-          if (heap.size < k) heap.enqueue(Entry(key, candidate, score))
-          else {
-            val w = heap.head
-            if (key > w.key || (key == w.key && candidate < w.docID)) {
-              heap.dequeue(); heap.enqueue(Entry(key, candidate, score))
+          // search-after gate: ranked at-or-before the cursor → earlier
+          // page, skip (both tests false when afterKey is NaN = no cursor)
+          if (!(key > afterKey || (key == afterKey && candidate <= afterDoc))) {
+            if (heap.size < k) heap.enqueue(Entry(key, candidate, score))
+            else {
+              val w = heap.head
+              if (key > w.key || (key == w.key && candidate < w.docID)) {
+                heap.dequeue(); heap.enqueue(Entry(key, candidate, score))
+              }
             }
           }
           iters(order(0)).advance(candidate + 1)
@@ -630,7 +646,11 @@ object QueryEngine {
       avgdl: Double,
       lo: Long, hi: Long, k: Int,
       rounded: Boolean,
-      allowed: Long => Boolean): Seq[ScoredDoc] = {
+      allowed: Long => Boolean,
+      // search-after cursor — same contract as [[conjunctiveRange]]'s
+      // (NaN = none; skip docs ranked at-or-before (afterKey, afterDoc))
+      afterKey: Double = Double.NaN,
+      afterDoc: Long = 0L): Seq[ScoredDoc] = {
     val present = termsSorted.filter(tc => segsByTerm.contains(tc.term))
     val n = present.length
     if (n == 0) return Nil
@@ -653,6 +673,8 @@ object QueryEngine {
       else heap.head.key
     def offer(docID: Long, score: Double): Unit = {
       val key = keyOf(score)
+      // search-after gate (both tests false when afterKey is NaN)
+      if (key > afterKey || (key == afterKey && docID <= afterDoc)) return
       if (heap.size < k) heap.enqueue(Entry(key, docID, score))
       else {
         val w = heap.head
@@ -1425,6 +1447,24 @@ final class QueryEngine(
   def topKOr(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = true)
 
+  /** Search-after pagination: the k results ranked strictly AFTER the
+    * cursor `(afterScore, afterDoc)` in (score desc, docID asc) order —
+    * the deep-paging contract of a search service. The cursor is the
+    * last row of the previous page; the client holds it, the engine
+    * never re-materializes earlier pages. The gate applies INSIDE the
+    * WAND kernels at heap insertion (post-score, pre-heap), so every
+    * physical path (driver-local, pooled, distributed scan / range)
+    * pages identically — and, at scale, each range task still ships only
+    * k rows per page instead of the page·k rows a take-then-slice plan
+    * would (the reason search_after exists). In rounded mode the cursor
+    * compares on its 4-decimal rounding, matching the heap key, so a
+    * page boundary splitting a rounded-score tie is resolved by the
+    * docID tie-break exactly as the global ranking would. */
+  def topKAfter(qtext: String, k: Int, afterScore: Double, afterDoc: Long,
+                rounded: Boolean = false, orMode: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode,
+      afterScore = afterScore, afterDoc = afterDoc)
+
   /** Boolean-NOT retrieval: query pieces prefixed `-` are negated —
     * `"hash join -window"` ranks docs containing hash AND join but NOT
     * window. Scoring is plain BM25 over the positive terms (exclusion
@@ -1514,7 +1554,14 @@ final class QueryEngine(
                        // NOT terms: docs containing ANY of these are
                        // excluded via anti-posting iterators in the
                        // kernel gate ([[QueryEngine.negatedGate]])
-                       negTerms: Seq[String] = Nil): DataFrame = {
+                       negTerms: Seq[String] = Nil,
+                       // search-after cursor (pagination): exclude docs
+                       // ranked at-or-before (afterScore, afterDoc) in
+                       // (score desc, docID asc) order. NaN = none. In
+                       // rounded mode the cursor score is compared on its
+                       // 4-decimal rounding, matching the heap key.
+                       afterScore: Double = Double.NaN,
+                       afterDoc: Long = 0L): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
@@ -1565,9 +1612,13 @@ final class QueryEngine(
       val neg = gateNegate
       () => QueryEngine.monotoneGate(gb.value, neg)
     }
+    val afterKey =
+      if (rounded && !afterScore.isNaN) QueryEngine.r4(afterScore)
+      else afterScore
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      QueryEngine.kernel(phraseSeq, windowW, orMode, gateF, negPresent)
+      QueryEngine.kernel(phraseSeq, windowW, orMode, gateF, negPresent,
+        afterKey, afterDoc)
 
     // ---- driver-local fast path -------------------------------------
     // All of the query's postings fit the driver cache and norms are
@@ -1758,6 +1809,25 @@ final class QueryEngine(
       qid -> topKImpl(qtext, k, rounded = true, orMode = orMode)
     })
 
+  /** Driver-contract frame for PAGE 2 of the fixed query set: for each
+    * query, page 1 (top k) supplies the cursor — its k-th (score, docID)
+    * — and [[topKAfter]] retrieves the next k. Ranks are GLOBAL
+    * (k+1 .. 2k). A query with fewer than k page-1 results has no page 2
+    * (∅ — nothing ranks after a short page 1 by definition). */
+  def topKAllPage2(k: Int = Bm25.K): DataFrame = {
+    val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
+    contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
+      val page1 = topKImpl(qtext, k, rounded = true, orMode = false)
+        .collect().sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      if (page1.length < k) qid -> empty
+      else {
+        val last = page1.last
+        qid -> topKImpl(qtext, k, rounded = true, orMode = false,
+          afterScore = last.getDouble(1), afterDoc = last.getLong(0))
+      }
+    }, rankOffset = k)
+  }
+
   /** Driver-contract frame over the fixed PHRASE query set. */
   def topKAllPhrase(k: Int = Bm25.K): DataFrame =
     contractFrame(Bm25.PhraseQuerySet.map { case (qid, qtext) =>
@@ -1795,11 +1865,15 @@ final class QueryEngine(
     })
   }
 
-  private def contractFrame(perQuery: Seq[(String, DataFrame)]): DataFrame = {
+  private def contractFrame(perQuery: Seq[(String, DataFrame)],
+                            // pagination: report GLOBAL ranks (page 2 of
+                            // a k-deep ranking ranks k+1 .. 2k)
+                            rankOffset: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     perQuery.map { case (qid, df) =>
       df.withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+          (row_number().over(Window.orderBy(col("score").desc, col("docID").asc))
+            + lit(rankOffset)).cast("int"))
         .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
     }.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }

@@ -123,6 +123,45 @@ class IndexQuerySpec extends AnyFunSuite {
     pooled.close(); dist.close()
   }
 
+  test("search-after: page 2 == rows k+1..2k of a 2k-deep ranking, all paths, AND + OR") {
+    built
+    val dist = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val range = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, qtext) <- Bm25.QuerySet; orMode <- Seq(false, true);
+         rounded <- Seq(false, true)) {
+      def run(e: QueryEngine) = {
+        val top20 = collectTopK(
+          if (orMode) e.topKOr(qtext, 20, rounded) else e.topK(qtext, 20, rounded))
+          .sortBy(t => (-t._2, t._1))
+        if (top20.length < 10) Seq.empty -> Seq.empty
+        else {
+          val (cDoc, cScore) = top20(9)
+          val page2 = collectTopK(
+            e.topKAfter(qtext, 10, cScore, cDoc, rounded, orMode))
+            .sortBy(t => (-t._2, t._1))
+          top20.drop(10) -> page2
+        }
+      }
+      for (e <- Seq(engine, dist, range)) {
+        val (expected, page2) = run(e)
+        assert(page2 == expected,
+          s"$qid '$qtext' or=$orMode rounded=$rounded:\n want=$expected\n got =$page2")
+      }
+    }
+    // short result set (absent term): no page 2 by definition
+    assert(engine.topKAfter("zzzzunknown", 10, 1.0, 0L).collect().isEmpty)
+    dist.close(); range.close()
+  }
+
+  test("search-after contract frame: global ranks k+1..2k, matches oracle slice") {
+    built
+    val oracle20 = Bm25.oracleTopK(spark, sfDir, k = 20).collect()
+      .map(_.toSeq).toSeq.filter(r => r(1).asInstanceOf[Int] > 10)
+    val page2 = engine.topKAllPage2().collect().map(_.toSeq).toSeq
+    assert(page2 == oracle20)
+  }
+
   test("OR multi-term scan path: zero per-query Exchange, identical to range path") {
     built
     // VERDICT r3 #5: multi-term OR used to force the per-query segment
