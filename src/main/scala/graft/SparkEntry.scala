@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Crawl, Dedup, Index, Media, Metrics, QueryEngine, Similarity, Snippets, SubstringSearch, TextStats}
+import graft.operators.{Bm25, Crawl, Dedup, Hybrid, Index, Media, Metrics, QueryEngine, Similarity, Snippets, SubstringSearch, TextStats}
 import graft.streaming.{Events, IncrementalIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,6 +46,15 @@ object SparkEntry {
     val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir)
     new QueryEngine(spark, Seq(indexDir)).topKAllNot()
+  }
+
+  /** Hybrid retrieval: BM25 (indexed, OR-mode) + embedding-cosine legs
+    * fused by Reciprocal Rank Fusion (operators.Hybrid) — the two-leg
+    * lexical+semantic stack of a modern search / RAG service. */
+  def indexedHybridTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    Hybrid.hybridTopK(spark, sfDir, new QueryEngine(spark, Seq(indexDir)))
   }
 
   /** Search-after pagination: PAGE 2 (global ranks k+1 .. 2k) of the
@@ -207,6 +216,9 @@ object SparkEntry {
     //    kernel-level after-cursor gate
     "bm25_topk_page2" -> ((s, dir) => indexedTopKPage2(s, dir)),
 
+    // -- hybrid lexical+semantic retrieval fused by RRF
+    "hybrid_rrf" -> ((s, dir) => indexedHybridTopK(s, dir)),
+
     // -- LSM deletes: tombstoned docs (docID%7==3) excluded via the
     //    deny facet; stats as-built (Lucene deleted-doc semantics)
     "bm25_topk_deleted" -> ((s, dir) => indexedTopKDeleted(s, dir)),
@@ -353,6 +365,9 @@ object SparkEntry {
     // page 2 = global ranks k+1 .. 2k of the same brute ranking
     "bm25_topk_page2" -> Bm25.oracleSqlTopK(
       k = 2 * Bm25.K, rankLo = Bm25.K + 1),
+    // hybrid RRF: OR-mode BM25 rank leg + cosine rank leg, full-outer
+    // fusion — the whole pipeline re-derived relationally
+    "hybrid_rrf" -> Hybrid.hybridTopKSql(),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(
       docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),
     "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),
