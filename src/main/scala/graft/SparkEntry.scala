@@ -276,6 +276,11 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir, dumpOracle = true)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir, dumpOracle = true)),
+    "ann_sq8_topk" -> ((s, dir) => Similarity.sq8TopK(s, dir, dumpOracle = true)),
+
+    // -- related-terms mining: top co-occurring terms per seed by PMI
+    "related_terms" -> ((s, dir) =>
+      graft.operators.RelatedTerms.relatedTerms(s, dir)),
 
     // -- text analysis
     "token_stats" -> ((s, dir) => TextStats.tokenStats(s, dir)),
@@ -402,10 +407,12 @@ object SparkEntry {
     // selection / rerank / rank) from the dumped signature tables
     "ann_lsh_topk" -> Similarity.lshTopKSql(),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(),
+    "ann_sq8_topk" -> Similarity.sq8TopKSql(),
     "dedup_simhash" -> Dedup.simhashDedupSql(),
     "doc_fingerprints" -> TextStats.fingerprintsSql,
     "clone_pairs" -> TextStats.clonePairsSql(),
     "decontaminate" -> TextStats.decontaminateSql(),
+    "related_terms" -> graft.operators.RelatedTerms.relatedTermsSql(),
     "token_stats" -> TextStats.tokenStatsSql,
     "quality_score" -> TextStats.qualityScoreSql,
     "lang_id" -> TextStats.langIdNbSql,

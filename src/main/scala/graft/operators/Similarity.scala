@@ -414,4 +414,148 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------- SQ8
+
+  /** Quantization levels (codes 0..255 — one byte per dimension). */
+  val SqLevels = 255
+
+  /** Candidate over-fetch factor: the quantized scan keeps the top
+    * `SqCandFactor · k` per query for the exact rerank. */
+  val SqCandFactor = 4
+
+  /** Per-dimension scalar-quantization grid: (j, mn, step) with
+    * step = (max − min)/255 (0 for a constant dimension). ONE
+    * partial-aggregated pass — 2·dim min/max aggregates over the array
+    * elements, no explode, one row out — so the grid build is
+    * shuffle-free at any corpus size. BOTH engines dequantize from this
+    * dumped table (mn + code·step), so the arithmetic inputs are
+    * bit-identical by construction (parquet roundtrip). */
+  def sq8Dims(e: DataFrame, dim: Int): Seq[(Int, Double, Double)] = {
+    val aggs = (0 until dim).flatMap { j =>
+      Seq(min(element_at(col("embedding"), j + 1).cast("double")),
+          max(element_at(col("embedding"), j + 1).cast("double")))
+    }
+    val row = e.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dim).map { j =>
+      val mn = row.getDouble(2 * j)
+      val mx = row.getDouble(2 * j + 1)
+      (j, mn, if (mx > mn) (mx - mn) / SqLevels else 0.0)
+    }
+  }
+
+  /** The SQ8 index artifact: (vec_id, code: array<int>), code_j =
+    * clamp(round((x_j − mn_j)/step_j), 0, 255). A pure projection (zero
+    * shuffle); at rest parquet bit-packs the ≤255 codes to ~1 byte per
+    * dimension — a 4× smaller scan than the float32 embeddings, which is
+    * the point: the approximate pass reads codes, only the ≤ C·|queries|
+    * rerank rows touch the full-precision table. */
+  def sq8Codes(e: DataFrame, mns: Array[Double], steps: Array[Double]): DataFrame = {
+    val mnsL = typedLit(mns.toSeq)
+    val stepsL = typedLit(steps.toSeq)
+    e.select(col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val st = element_at(stepsL, i + 1)
+        when(st === 0.0, lit(0)).otherwise(
+          least(lit(SqLevels), greatest(lit(0),
+            round((x.cast("double") - element_at(mnsL, i + 1)) / st)
+              .cast("int"))))
+      }).as("code"))
+  }
+
+  /** Dequantized vector column: dv_j = mn_j + code_j · step_j — the SAME
+    * association order as the SQL twin's lambda, so both engines score
+    * identical doubles. */
+  def sq8Dequant(code: Column, mns: Array[Double], steps: Array[Double]): Column = {
+    val mnsL = typedLit(mns.toSeq)
+    val stepsL = typedLit(steps.toSeq)
+    transform(code, (c, i) =>
+      element_at(mnsL, i + 1) + c.cast("double") * element_at(stepsL, i + 1))
+  }
+
+  /** SQ8 approximate top-k with exact rerank: quantized-cosine top-C per
+    * query over the dequantized codes (the memory-bound scan the
+    * quantization exists for), then exact cosine on the full-precision
+    * embeddings of the C candidates only. Same output contract as
+    * [[bruteTopK]]. When `dumpOracle`, the (codes, dims) artifacts are
+    * materialized for [[sq8TopKSql]], which re-derives dequantization,
+    * candidate selection and rerank relationally. */
+  def sq8TopK(spark: SparkSession, sfDir: String,
+              queryIds: Seq[Long] = QueryIds, k: Int = K,
+              dumpOracle: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = embeddingsOf(spark, sfDir)
+    val dim = dimOf(e)
+    val dims = sq8Dims(e, dim)
+    val mns = dims.map(_._2).toArray
+    val steps = dims.map(_._3).toArray
+    val codes = sq8Codes(e, mns, steps).cache()
+    if (dumpOracle) {
+      OracleSide.dump("sq8_codes", codes)
+      OracleSide.dump("sq8_dims", dims.toDF("j", "mn", "step"))
+    }
+    val dv = codes.select(col("vec_id"), sq8Dequant(col("code"), mns, steps).as("dv"))
+    val q = dv.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("dv").as("qdv"))
+    val c = SqCandFactor * k
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val cand = dv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", round(Native.cosine(col("qdv"), col("dv")), 4))
+      .withColumn("cr", row_number().over(cw))
+      .filter(col("cr") <= c)
+      .select(col("query_id"), col("vec_id"))
+    val qe = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = rankContract(
+      cand.join(e, "vec_id").join(broadcast(qe), "query_id")
+        .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
+        .select(col("query_id"), col("vec_id"), col("cos")),
+      k).localCheckpoint()
+    codes.unpersist()
+    out
+  }
+
+  /** DuckDB twin: dequantize from the dumped (codes, dims) artifacts with
+    * the identical mn + code·step lambda, re-rank candidates, exact-rerank
+    * from the embeddings table — everything downstream of the quantization
+    * hash re-derived relationally. */
+  def sq8TopKSql(queryIds: Seq[Long] = QueryIds, k: Int = K): String = {
+    val ids = queryIds.mkString(", ")
+    val c = SqCandFactor * k
+    s"""WITH d AS (SELECT list(mn ORDER BY j) AS mns, list(step ORDER BY j) AS steps
+       |           FROM ${OracleSide.glob("sq8_dims")}),
+       |dv AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, len(code) + 1),
+       |                        i -> d.mns[i] + code[i] * d.steps[i]) AS v
+       |  FROM ${OracleSide.glob("sq8_codes")}, d
+       |),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id IN ($ids)),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, dv.vec_id,
+       |           row_number() OVER (
+       |             PARTITION BY q.query_id
+       |             ORDER BY round(list_cosine_similarity(
+       |               CAST(q.qv AS DOUBLE[]), CAST(dv.v AS DOUBLE[])), 4) DESC,
+       |               dv.vec_id ASC) AS cr
+       |    FROM q JOIN dv ON dv.vec_id <> q.query_id
+       |  ) WHERE cr <= $c
+       |),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |               CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

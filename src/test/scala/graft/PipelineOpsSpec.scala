@@ -254,12 +254,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == rows.map(_.toSeq).toSeq)
   }
 
+  test("ann SQ8 top-k: shape, measured recall vs brute, deterministic repeat") {
+    val rows = Similarity.sq8TopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Similarity.QueryIds.toSet)
+    for ((q, rs) <- byQ) {
+      assert(rs.length == Similarity.K)
+      assert(rs.forall(_.getLong(2) != q))
+    }
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    info(f"ANN SQ8 recall@10 (C=${Similarity.SqCandFactor}k): $recall%.2f")
+    // 8-bit dequantization barely perturbs 64-dim cosines and the exact
+    // rerank fixes ordering inside the candidate set — demand near-exact
+    assert(recall >= 0.9, s"implausibly low SQ8 recall: $recall")
+    val again = Similarity.sq8TopK(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
+  test("SQ8 quantization: per-element reconstruction error bounded by step/2") {
+    import org.apache.spark.sql.functions._
+    val e = Corpus.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val dims = Similarity.sq8Dims(e, dim)
+    val mns = dims.map(_._2).toArray
+    val steps = dims.map(_._3).toArray
+    val sample = Similarity.sq8Codes(e, mns, steps).join(e, "vec_id")
+      .limit(50).collect()
+    assert(sample.nonEmpty)
+    for (r <- sample) {
+      val code = r.getSeq[Int](1)
+      val x = r.getSeq[Float](2)
+      for (j <- 0 until dim) {
+        val deq = mns(j) + code(j) * steps(j)
+        val bound = steps(j) / 2 + 1e-9
+        assert(math.abs(deq - x(j)) <= bound,
+          s"vec ${r.getLong(0)} dim $j: |$deq - ${x(j)}| > $bound")
+      }
+    }
+    // the grid covers the data: codes stay inside [0, 255]
+    assert(sample.forall(_.getSeq[Int](1).forall(c => c >= 0 && c <= 255)))
+  }
+
   test("ivf assignment plan is shuffle-free (argmin over literal centroids)") {
     val (asg, cents) = Similarity.ivfModel(spark, dir)
     assert(cents.length == Similarity.IvfNlist)
     val plan = asg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"IVF assignment must not shuffle, got plan:\n$plan")
+  }
+
+  test("related terms: PMI frame == full driver-side reconstruction") {
+    import graft.operators.{Bm25, RelatedTerms}
+    val got = RelatedTerms.relatedTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // independent reconstruction from the incidence table
+    val tfd = Bm25.termFreq(Corpus.docs(spark, dir))
+      .select(col("docID"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = tfd.groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2).toSet }
+    val dfm = tfd.groupBy(_._2).map { case (t, rs) => t -> rs.length }
+    val n = byDoc.size.toDouble
+    def r4(x: Double) =
+      new java.math.BigDecimal(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = RelatedTerms.Seeds.flatMap { seed =>
+      val co = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, terms) <- byDoc if terms(seed); t <- terms if t != seed)
+        co(t) = co.getOrElse(t, 0L) + 1
+      co.toSeq.filter(_._2 >= RelatedTerms.MinCo)
+        .map { case (t, c) =>
+          (t, c, r4(math.log(c * n / (dfm(seed).toDouble * dfm(t).toDouble)))) }
+        .sortBy { case (t, _, pmi) => (-pmi, t) }
+        .take(RelatedTerms.M).zipWithIndex
+        .map { case ((t, c, pmi), i) => (seed, i + 1, t, c, pmi) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want,
+      s"related-terms mismatch:\n want=${want.take(5)}...\n got =${got.take(5)}...")
+    assert(got.nonEmpty && got.forall(_._4 >= RelatedTerms.MinCo))
   }
 
   test("token stats: alnum tokens >= ws tokens never holds trivially; counts positive") {
