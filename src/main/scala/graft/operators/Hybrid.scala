@@ -60,23 +60,32 @@ object Hybrid {
 
   /** Semantic leg: per query-vector, the top-`depth` corpus docs by
     * 4-decimal-rounded cosine (ties docID asc). One corpus scan for ALL
-    * queries — the query vectors ride a broadcast. */
+    * queries — the query vectors ride a broadcast, and the top-`depth`
+    * selection pre-reduces with [[Similarity.topDPerQuery]]'s bounded
+    * per-partition heaps, so the rank window only ever sees ≤
+    * |queries|·depth·partitions survivor rows (a window partitioned by
+    * 6 query ids over the raw scored frame would own the whole corpus in
+    * 6 tasks — the single-task-partition scale-killer). */
   def semanticRanks(spark: SparkSession, sfDir: String,
                     depth: Int = Depth): DataFrame = {
     import spark.implicits._
     val e = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val qmap = HybridQuerySet.map { case (qid, _, vid) => (qid, vid) }
-      .toDF("query", "qvec_id")
-    val q = qmap.join(e.withColumnRenamed("vec_id", "qvec_id"), "qvec_id")
-      .select(col("query"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("query"))
-      .orderBy(col("cos").desc, col("docID").asc)
-    e.crossJoin(broadcast(q))
+    val qidx = HybridQuerySet.zipWithIndex
+      .map { case ((qid, _, vid), i) => (i.toLong, qid, vid) }
+    val qmap = qidx.map { case (i, qid, _) => (i, qid) }.toDF("qi", "query")
+    val q = qidx.map { case (i, _, vid) => (i, vid) }.toDF("qi", "qvec_id")
+      .join(e.withColumnRenamed("vec_id", "qvec_id"), "qvec_id")
+      .select(col("qi"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
       .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
-      .select(col("query"), col("vec_id").as("docID"), col("cos"))
+      .select(col("qi").as("query_id"), col("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    Similarity.topDPerQuery(scored, depth)
       .withColumn("arank", row_number().over(w))
       .filter(col("arank") <= depth)
-      .select(col("query"), col("docID"), col("arank"))
+      .join(broadcast(qmap), col("query_id") === col("qi"))
+      .select(col("query"), col("vec_id").as("docID"), col("arank"))
   }
 
   /** Lexical leg: the indexed engine's disjunctive (OR) top-`depth` per

@@ -97,10 +97,46 @@ object Similarity {
   private def dimOf(e: DataFrame): Int =
     e.select(size(col("embedding"))).head().getInt(0)
 
+  /** Exact per-partition top-d pre-reduction for "top-k per query" over
+    * a corpus-sized scored frame. The naive shape —
+    * `row_number over (partition by query_id)` — shuffles EVERY scored
+    * row into |queries| tasks (5 queries → 5 tasks own the whole corpus:
+    * the single-task-partition scale-killer). Instead each input
+    * partition keeps a d-bounded heap per query and emits ≤ |queries|·d
+    * rows; the global top-d per query is a subset of that union (any
+    * global top-d row is top-d within its own partition), so the window
+    * that follows ranks a tiny survivor frame. One pass, no sort, no
+    * corpus-sized shuffle. */
+  def topDPerQuery(scored: DataFrame, d: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("cos").cast("double")).as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // better = (cos desc, vec_id asc); heap root = worst kept
+        val worstFirst = Ordering.fromLessThan[(Long, Double)]((a, b) =>
+          a._2 < b._2 || (a._2 == b._2 && a._1 > b._1))
+        val heaps = scala.collection.mutable.Map.empty[
+          Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        for ((q, v, c) <- it) {
+          val h = heaps.getOrElseUpdate(q,
+            new scala.collection.mutable.PriorityQueue[(Long, Double)]()(
+              worstFirst.reverse))
+          if (h.size < d) h.enqueue((v, c))
+          else {
+            val w = h.head
+            if (c > w._2 || (c == w._2 && v < w._1)) { h.dequeue(); h.enqueue((v, c)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map(t => (q, t._1, t._2)) }
+      }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   private def rankContract(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    topDPerQuery(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
@@ -494,26 +530,39 @@ object Similarity {
       OracleSide.dump("sq8_codes", codes)
       OracleSide.dump("sq8_dims", dims.toDF("j", "mn", "step"))
     }
+    val out = sq8Query(e, codes, mns, steps, queryIds, k).localCheckpoint()
+    codes.unpersist()
+    out
+  }
+
+  /** The SQ8 QUERY pass over a prebuilt codes table (the amortized
+    * steady-state shape — grid + codes are the index artifact, queries
+    * scan codes and rerank candidates from the full-precision table). */
+  def sq8Query(e: DataFrame, codes: DataFrame, mns: Array[Double],
+               steps: Array[Double], queryIds: Seq[Long] = QueryIds,
+               k: Int = K): DataFrame = {
     val dv = codes.select(col("vec_id"), sq8Dequant(col("code"), mns, steps).as("dv"))
     val q = dv.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("dv").as("qdv"))
     val c = SqCandFactor * k
     val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("vec_id").asc)
-    val cand = dv.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("qcos", round(Native.cosine(col("qdv"), col("dv")), 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    // same per-partition bounded-heap pre-reduction as rankContract: the
+    // approximate frame is corpus-sized, the window only ranks survivors
+    val approx = dv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Native.cosine(col("qdv"), col("dv")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val cand = topDPerQuery(approx, c)
       .withColumn("cr", row_number().over(cw))
       .filter(col("cr") <= c)
       .select(col("query_id"), col("vec_id"))
     val qe = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val out = rankContract(
+    rankContract(
       cand.join(e, "vec_id").join(broadcast(qe), "query_id")
         .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
         .select(col("query_id"), col("vec_id"), col("cos")),
-      k).localCheckpoint()
-    codes.unpersist()
-    out
+      k)
   }
 
   /** DuckDB twin: dequantize from the dumped (codes, dims) artifacts with

@@ -254,6 +254,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == rows.map(_.toSeq).toSeq)
   }
 
+  test("topDPerQuery pre-reduction: exact vs global window ranking; output bounded") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = Corpus.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(graft.functions.Native.cosine(col("qv"), col("embedding")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .repartition(8) // force multiple partitions so per-partition heaps matter
+    val d = 15
+    val reduced = Similarity.topDPerQuery(scored, d)
+    // bounded: at most |queries| * d * partitions survivors, here far less
+    assert(reduced.count() <= 3L * d * 8)
+    def rank(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= d)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rank(reduced) == rank(scored),
+      "pre-reduced top-d differs from the global window ranking")
+  }
+
   test("ann SQ8 top-k: shape, measured recall vs brute, deterministic repeat") {
     val rows = Similarity.sq8TopK(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
