@@ -239,6 +239,20 @@ object SparkEntry {
     "bm25_prefix_oracle" -> ((s, dir) => Bm25.oraclePrefixTopK(s, dir)),
     "bm25_prefix_indexed" -> ((s, dir) => indexedPrefixTopK(s, dir)),
 
+    // -- autocomplete: top-df dictionary completions per fixed prefix
+    "suggest_terms" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).suggestAll()
+    }),
+
+    // -- index metadata surface, cross-gated against corpus truth
+    "index_stats" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).indexStats()
+    }),
+
     // -- total-hits counts per query (AND + OR), no scoring
     "match_counts" -> ((s, dir) => indexedMatchCounts(s, dir)),
 
@@ -373,6 +387,8 @@ object SparkEntry {
     // hybrid RRF: OR-mode BM25 rank leg + cosine rank leg, full-outer
     // fusion — the whole pipeline re-derived relationally
     "hybrid_rrf" -> Hybrid.hybridTopKSql(),
+    "suggest_terms" -> Bm25.suggestSql(),
+    "index_stats" -> Bm25.indexStatsSql(),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(
       docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),
     "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),

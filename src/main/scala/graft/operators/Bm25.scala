@@ -822,6 +822,50 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
   }
 
+  /** DuckDB twin of `QueryEngine.suggestAll`: per fixed prefix, the
+    * top-m dictionary terms starting with it by (df desc, term asc) —
+    * document frequency straight off the tokenization CTE. */
+  def suggestSql(m: Int = 8): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tfd AS (
+         |  SELECT DISTINCT docID, term FROM tok
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY term
+         |)""".stripMargin
+    val perPrefix = PrefixQuerySet.map { case (qid, p) =>
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, term, df FROM (
+         |  SELECT term, df,
+         |         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+         |  FROM dfr WHERE term LIKE '$p%'
+         |) WHERE rank <= $m)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perPrefix\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of `QueryEngine.indexStats`: every index-metadata value
+    * re-derived from the raw corpus. */
+  def indexStatsSql(): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id AS docID, t.term AS term
+       |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+       |  WHERE t.term <> ''
+       |), tf AS (
+       |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+       |), dl AS (
+       |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+       |), dfr AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |)
+       |SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+       |       CAST((SELECT count(*) FROM dfr) AS BIGINT) AS n_terms,
+       |       CAST((SELECT sum(df) FROM dfr) AS BIGINT) AS n_postings,
+       |       CAST((SELECT max(df) FROM dfr) AS BIGINT) AS max_df,
+       |       round((SELECT CAST(sum(len) AS DOUBLE) / count(*) FROM dl), 4) AS avgdl""".stripMargin
+
   /** DuckDB twin of [[oracleTopKOr]]: same CTEs, no HAVING gate, absent
     * terms coalesce to 0.0 in the same fixed-order sum. A query whose
     * terms all miss the corpus (q05) matches no scored rows → empty. */

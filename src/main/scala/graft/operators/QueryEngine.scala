@@ -1301,6 +1301,52 @@ final class QueryEngine(
       qid -> topKPrefix(prefix, k, rounded = true)
     })
 
+  /** Autocomplete: the top-m dictionary completions of `prefix` by
+    * (df desc, term asc) — the suggest-as-you-type surface. Rides
+    * [[expandPrefix]]'s machinery (pinned-dict sweep below the cache
+    * cap, term-sorted StringStartsWith row-group-pruned scan above it),
+    * then attaches exact combined df from the dictionary — pure metadata,
+    * no posting touched. */
+  def suggest(prefix: String, m: Int = 8, cap: Int = 64): Seq[(String, Long)] = {
+    val terms = expandPrefix(prefix, cap)
+    if (terms.isEmpty) return Nil
+    val dfs = lookupPerDir(terms).flatten.groupBy(_.term)
+      .map { case (t, es) => t -> es.map(_.df).sum }
+    terms.map(t => t -> dfs.getOrElse(t, 0L))
+      .sortBy { case (t, d) => (-d, t) }.take(m)
+  }
+
+  /** Driver-contract frame over the fixed PREFIX query set:
+    * (query, rank, term, df) — completions ranked by document frequency.
+    * An absent prefix (x04) contributes no rows. */
+  def suggestAll(m: Int = 8): DataFrame =
+    Bm25.PrefixQuerySet.flatMap { case (qid, prefix) =>
+      suggest(prefix, m).zipWithIndex.map { case ((t, d), i) =>
+        (qid, i + 1, t, d)
+      }
+    }.toDF("query", "rank", "term", "df")
+      .orderBy(col("query"), col("rank"))
+
+  /** Index metadata surface: ONE row
+    * (n_docs, n_terms, n_postings, max_df, avgdl) — what a search
+    * service's /stats endpoint reports, assembled from the index's own
+    * artifacts (stats + dictionary tables; no corpus scan, no posting
+    * decode). The oracle twin re-derives every value from the raw
+    * corpus, so this entry cross-gates the index METADATA against
+    * corpus truth. */
+  def indexStats(): DataFrame = {
+    val dict = indexDirs.map(Index.readDictionary(spark, _).toDF())
+      .reduce(_ unionAll _)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+        max(col("df")).as("max_df"))
+      .head()
+    Seq((stats.n.toLong, dict.getLong(0), dict.getLong(1), dict.getLong(2),
+      QueryEngine.r4(stats.avgdl)))
+      .toDF("n_docs", "n_terms", "n_postings", "max_df", "avgdl")
+  }
+
   /** Total-hits count for a query — the search service's "About N
     * results" aggregate. Never scores, never touches norms, never
     * materializes matches ([[QueryEngine.countRange]]). Driver-local

@@ -446,6 +446,36 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
   }
 
+  test("suggest: completions == brute df ranking; absent prefix empty; dict-scan path identical") {
+    built
+    val dfTruth = Bm25.docFreq(Bm25.termFreq(Corpus.docs(spark, sfDir)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((_, p) <- Bm25.PrefixQuerySet) {
+      val want = dfTruth.toSeq.filter(_._1.startsWith(p))
+        .sortBy { case (t, d) => (-d, t) }.take(8)
+      assert(engine.suggest(p) == want, s"prefix '$p'")
+    }
+    assert(engine.suggest("zz").isEmpty)
+    // big-vocab fallback (dictionary scan, StringStartsWith pushdown)
+    val scan = new QueryEngine(spark, Seq(indexDir), dictCacheUpTo = 0L)
+    for ((_, p) <- Bm25.PrefixQuerySet.take(3))
+      assert(scan.suggest(p) == engine.suggest(p), s"scan path, prefix '$p'")
+  }
+
+  test("indexStats: index metadata equals corpus-derived truth") {
+    built
+    val tf = Bm25.termFreq(Corpus.docs(spark, sfDir))
+    val dfr = Bm25.docFreq(tf).collect().map(r => r.getLong(1))
+    val lens = Bm25.docLengths(tf).collect().map(r => r.getLong(1))
+    val row = engine.indexStats().head()
+    assert(row.getLong(0) == lens.length.toLong)              // n_docs
+    assert(row.getLong(1) == dfr.length.toLong)               // n_terms
+    assert(row.getLong(2) == dfr.sum)                         // n_postings
+    assert(row.getLong(3) == dfr.max)                         // max_df
+    assert(row.getDouble(4) ==
+      QueryEngine.r4(lens.sum.toDouble / lens.length))        // avgdl
+  }
+
   test("snippets: argmax window, tie-break, highlight, short-doc clamp") {
     import graft.operators.Snippets
     import spark.implicits._
