@@ -138,6 +138,9 @@ object Explain {
         "contamination found, never corpus fingerprint volume).",
       graft.operators.TextStats.decontaminate(spark, sfDir))
 
+    val emb0 = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val dim0 = emb0.select(size(col("embedding"))).head().getInt(0)
+
     show("brute-force BM25 oracle",
       "Expect: broadcast of the 1-row stats; shuffle joins tf⋈df⋈len; " +
         "window rank per query.",
@@ -151,16 +154,49 @@ object Explain {
 
     show("ANN brute cosine top-k",
       "Expect: BroadcastNestedLoopJoin (tiny query side broadcast), " +
-        "graft_cosine codegen'd in the projection, window top-k.",
+        "graft_cosine codegen'd in the projection, then the bounded-heap " +
+        "top-d pre-reduction (SerializeFromObject/mapPartitions) BEFORE " +
+        "the rank window — the window's hashpartitioning receives only " +
+        "the ≤ |queries|·k·partitions survivors, never the corpus.",
       Similarity.bruteTopK(spark, sfDir))
+
+    show("SQ8 quantized ANN (codes projection + rerank)",
+      "Expect: the codes artifact is Scan → Project only (zero " +
+        "Exchange); the query pass shows the broadcast query side, the " +
+        "same bounded-heap pre-reduction before the candidate window, " +
+        "and an exact rerank joining ONLY the candidate ids back to the " +
+        "full-precision table.",
+      {
+        val dims = Similarity.sq8Dims(emb0, dim0)
+        val mns = dims.map(_._2).toArray
+        val steps = dims.map(_._3).toArray
+        Similarity.sq8Query(emb0, Similarity.sq8Codes(emb0, mns, steps),
+          mns, steps)
+      })
+
+    show("hybrid RRF fusion (two d-row legs)",
+      "Expect: the semantic leg is one corpus scan with the broadcast " +
+        "query vectors and the bounded-heap pre-reduction; the fusion " +
+        "full-outer join and final rank window run over ≤ 2·d rows per " +
+        "query — every post-leg operator is survivor-sized.",
+      {
+        val eng = new QueryEngine(spark, Seq(indexDir))
+        graft.operators.Hybrid.hybridTopK(spark, sfDir, eng)
+      })
+
+    show("related terms (PMI co-occurrence)",
+      "Expect: two partial-aggregated reductions over the (docID, term) " +
+        "incidence frame — the co-occurrence groupBy combines map-side; " +
+        "df sides joined, seed df broadcast; no quadratic dictionary op.",
+      graft.operators.RelatedTerms.relatedTerms(spark, sfDir))
 
     show("IVF assignment (per-row argmin over literal centroids)",
       "Expect: Scan + Project ONLY — zero Exchange per Lloyd round " +
         "(round-1 crossJoin+window plan shuffled nlist× the corpus).",
       Similarity.ivfModel(spark, sfDir)._1)
 
-    val emb = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val emb = emb0
+    val dim = dim0
     show("LSH signature table (L tables × corpus-scaled planes)",
       "Expect: shuffle-free projection pass (scan → project → explode); " +
         "plane dots via the codegen'd graft_cosine.",
