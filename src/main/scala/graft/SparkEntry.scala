@@ -246,6 +246,13 @@ object SparkEntry {
       new QueryEngine(s, Seq(indexDir)).suggestAll()
     }),
 
+    // -- more-like-this: top-k similar docs via top-tfidf expansion
+    "more_like_this" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).moreLikeThisAll()
+    }),
+
     // -- index metadata surface, cross-gated against corpus truth
     "index_stats" -> ((s, dir) => {
       val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -388,6 +395,7 @@ object SparkEntry {
     // fusion — the whole pipeline re-derived relationally
     "hybrid_rrf" -> Hybrid.hybridTopKSql(),
     "suggest_terms" -> Bm25.suggestSql(),
+    "more_like_this" -> Bm25.oracleSqlMoreLikeThis(),
     "index_stats" -> Bm25.indexStatsSql(),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(
       docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),

@@ -105,6 +105,13 @@ object Bm25 {
     ("z07", "batc"),
   )
 
+  /** Fixed more-like-this source docs (FIXTURES.md §22): present at
+    * every scale factor (doc_id 0..499 at sf0.001 already). */
+  val MltSources: Seq[Long] = Seq(0L, 7L, 42L)
+
+  /** MLT expansion width: top-t source-doc terms by round4(tf·idf). */
+  val MltTerms = 5
+
   /** Fixed boolean-NOT query set (`-piece` = negated): common neg,
     * stop-word-sized neg posting list, absent neg (≡ plain AND), two
     * negs, self-negation (∅ by construction), stop-word driver with a
@@ -1011,6 +1018,61 @@ object Bm25 {
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of `QueryEngine.moreLikeThisAll`: per source doc, the
+    * top-t terms by round4(tf·idf) (term-asc ties), then OR-mode BM25
+    * over that data-dependent expansion — the ordered `list_reduce`
+    * fold, source doc excluded before ranking. */
+  def oracleSqlMoreLikeThis(k: Int = K, t: Int = MltTerms): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perSrc = MltSources.map { src =>
+      s"""(SELECT CAST($src AS BIGINT) AS src, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round(raw, 4) AS score,
+         |         row_number() OVER (ORDER BY round(raw, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+         |    FROM scored
+         |    WHERE docID <> $src AND term IN (
+         |      SELECT term FROM (
+         |        SELECT tf.term,
+         |               row_number() OVER (
+         |                 ORDER BY round(CAST(tf.tf AS DOUBLE)
+         |                   * ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5)
+         |                        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0), 4) DESC,
+         |                 tf.term ASC) AS tr
+         |        FROM tf JOIN dfr USING (term) CROSS JOIN stats
+         |        WHERE tf.docID = $src
+         |      ) WHERE tr <= $t
+         |    )
+         |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perSrc\n) ORDER BY src, rank"
   }
 
   /** DuckDB twin of the engine's total-hits counts

@@ -1327,6 +1327,46 @@ final class QueryEngine(
     }.toDF("query", "rank", "term", "df")
       .orderBy(col("query"), col("rank"))
 
+  /** More-like-this: the top-k docs most similar to `srcDoc`, by BM25
+    * over the source doc's top-`t` tf·idf terms (the classic Lucene MLT
+    * recipe). Term selection reads the source doc's rows from the
+    * index's stage-1 tf table (docID-pushdown point read — never a
+    * corpus scan), ranks them by round4(tf·idf) with term-asc
+    * tie-break, and the selected terms re-enter the ordinary OR query
+    * pipeline; the source doc itself is excluded from the k+1 result
+    * exactly (top-k excluding one known doc ⊆ top-(k+1) including it). */
+  def moreLikeThis(srcDoc: Long, k: Int = Bm25.K, t: Int = 5): DataFrame = {
+    val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
+    val tfRows = indexDirs.map(d =>
+        spark.read.parquet(s"$d/tf").filter(col("docID") === srcDoc))
+      .reduce(_ unionAll _)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("tf"))
+    if (tfRows.isEmpty) return empty
+    val dfs = lookupPerDir(tfRows.map(_._1).distinct.sorted).flatten
+      .groupBy(_.term).map { case (tm, es) => tm -> es.map(_.df).sum }
+    val n = stats.n
+    val terms = tfRows
+      .map { case (tm, tf) => (tm, QueryEngine.r4(tf * Bm25.idf(n, dfs(tm)))) }
+      .sortBy { case (tm, s) => (-s, tm) }.take(t).map(_._1)
+    topKImpl(terms.mkString(" "), k + 1, rounded = true, orMode = true)
+      .filter(col("docID") =!= srcDoc)
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+  }
+
+  /** Driver-contract frame over the fixed source-doc set: for each
+    * source, (src, rank, docID, score) of its k most similar docs. */
+  def moreLikeThisAll(k: Int = Bm25.K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Bm25.MltSources.map { src =>
+      moreLikeThis(src, k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc))
+            .cast("int"))
+        .select(lit(src).as("src"), col("rank"), col("docID"), col("score"))
+    }.reduce(_ unionAll _).orderBy(col("src"), col("rank"))
+  }
+
   /** Index metadata surface: ONE row
     * (n_docs, n_terms, n_postings, max_df, avgdl) — what a search
     * service's /stats endpoint reports, assembled from the index's own

@@ -462,6 +462,30 @@ class IndexQuerySpec extends AnyFunSuite {
       assert(scan.suggest(p) == engine.suggest(p), s"scan path, prefix '$p'")
   }
 
+  test("moreLikeThis: top-tfidf expansion + OR ranking == independent construction") {
+    built
+    val docs = Corpus.docs(spark, sfDir)
+    val tf = Bm25.termFreq(docs)
+    val tfRows = tf.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dfm = tfRows.groupBy(_._2).map { case (t, rs) => t -> rs.length.toLong }
+    val n = tfRows.map(_._1).distinct.length.toDouble
+    for (src <- Bm25.MltSources) {
+      // expected expansion: top-5 source terms by (round4(tf*idf) desc, term)
+      val expTerms = tfRows.filter(_._1 == src)
+        .map { case (_, t, f) => (t, QueryEngine.r4(f * Bm25.idf(n, dfm(t)))) }
+        .sortBy { case (t, s) => (-s, t) }.take(Bm25.MltTerms).map(_._1)
+      // expected ranking: brute OR oracle over those terms, src excluded
+      val want = collectTopK(
+        Bm25.oracleTopKOrExact(spark, sfDir, expTerms.mkString(" "), k = 1 << 20))
+        .map { case (d, s) => (d, QueryEngine.r4(s)) }
+        .filter(_._1 != src)
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      val got = collectTopK(engine.moreLikeThis(src)).sortBy(t => (-t._2, t._1))
+      assert(got == want, s"src=$src expansion=$expTerms:\n want=$want\n got =$got")
+      assert(!got.exists(_._1 == src), s"src=$src must be excluded")
+    }
+  }
+
   test("indexStats: index metadata equals corpus-derived truth") {
     built
     val tf = Bm25.termFreq(Corpus.docs(spark, sfDir))
