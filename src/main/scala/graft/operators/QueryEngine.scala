@@ -1102,6 +1102,19 @@ final class QueryEngine(
       gateBc = facet.gateBc, gateNegate = facet.negate,
       postFilter = facet.postFilter)
 
+  /** Search-after pagination composed with a facet: the k results AFTER
+    * the `(afterScore, afterDoc)` cursor within the faceted ranking —
+    * both gates apply inside the WAND kernel (page 2+ of a faceted
+    * result list). */
+  def topKFilteredAfter(qtext: String, facet: Facet, k: Int,
+                        afterScore: Double, afterDoc: Long,
+                        rounded: Boolean = false,
+                        orMode: Boolean = false): DataFrame =
+    topKImpl(qtext, k, rounded, orMode,
+      gateBc = facet.gateBc, gateNegate = facet.negate,
+      postFilter = facet.postFilter,
+      afterScore = afterScore, afterDoc = afterDoc)
+
   /** Release every broadcast this session created (norms + cached side
     * segments + filter gates). The engine must not be queried afterwards. */
   def close(): Unit = synchronized {
@@ -1561,9 +1574,11 @@ final class QueryEngine(
     * all three physical paths (driver-local, pooled, distributed scan /
     * range) apply it identically. A term both positive and negated
     * yields ∅ by construction. */
-  def topKNot(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame = {
+  def topKNot(qtext: String, k: Int = Bm25.K, rounded: Boolean = false,
+              afterScore: Double = Double.NaN, afterDoc: Long = 0L): DataFrame = {
     val (pos, neg) = Analyzer.signedTerms(qtext)
-    topKImpl(pos.mkString(" "), k, rounded, orMode = false, negTerms = neg)
+    topKImpl(pos.mkString(" "), k, rounded, orMode = false, negTerms = neg,
+      afterScore = afterScore, afterDoc = afterDoc)
   }
 
   /** Disjunctive twin of [[topKNot]]: OR over the positive terms, docs

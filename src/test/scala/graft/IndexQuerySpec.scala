@@ -154,6 +154,33 @@ class IndexQuerySpec extends AnyFunSuite {
     dist.close(); range.close()
   }
 
+  test("search-after composes with the facet gate and boolean-NOT") {
+    built
+    // faceted paging: page 2 of a lang-gated ranking == slice of its top-20
+    val allowed = Corpus.docs(spark, sfDir)
+      .filter(col("lang") === "en").select(col("docID"))
+    val facet = engine.prepareFilter(allowed)
+    val ftop20 = collectTopK(
+      engine.topKFiltered("hash join", facet, 20, rounded = true, orMode = false))
+      .sortBy(t => (-t._2, t._1))
+    assert(ftop20.length >= 12, "fixture: need a deep faceted result set")
+    val (fd, fs) = ftop20(9)
+    val fpage2 = collectTopK(engine.topKFilteredAfter("hash join", facet, 10,
+      afterScore = fs, afterDoc = fd, rounded = true))
+      .sortBy(t => (-t._2, t._1))
+    assert(fpage2 == ftop20.drop(10).take(10))
+    // NOT paging: page 2 of an exclusion query == slice of its top-20
+    val ntop20 = collectTopK(engine.topKNot("table -the", 20, rounded = true))
+      .sortBy(t => (-t._2, t._1))
+    if (ntop20.length >= 11) {
+      val (nd, ns) = ntop20(9)
+      val npage2 = collectTopK(engine.topKNot("table -the", 10,
+        rounded = true, afterScore = ns, afterDoc = nd))
+        .sortBy(t => (-t._2, t._1))
+      assert(npage2 == ntop20.drop(10).take(10))
+    } else fail("fixture: NOT query needs >10 results to exercise paging")
+  }
+
   test("search-after contract frame: global ranks k+1..2k, matches oracle slice") {
     built
     val oracle20 = Bm25.oracleTopK(spark, sfDir, k = 20).collect()
@@ -484,6 +511,33 @@ class IndexQuerySpec extends AnyFunSuite {
       assert(got == want, s"src=$src expansion=$expTerms:\n want=$want\n got =$got")
       assert(!got.exists(_._1 == src), s"src=$src must be excluded")
     }
+  }
+
+  test("LSM (two-index) engine: suggest / indexStats / moreLikeThis / paging identical") {
+    built
+    val docs = Corpus.docs(spark, sfDir)
+    val dirA = "target/test-index-lsm-a"
+    val dirB = "target/test-index-lsm-b"
+    Seq(dirA, dirB).foreach(d =>
+      new Directory(new java.io.File(d)).deleteRecursively())
+    Index.buildFrom(spark, docs.filter(col("docID") < 250), dirA, params)
+    Index.buildFrom(spark, docs.filter(col("docID") >= 250), dirB, params)
+    val lsm = new QueryEngine(spark, Seq(dirA, dirB))
+    for ((_, p) <- Bm25.PrefixQuerySet.take(4))
+      assert(lsm.suggest(p) == engine.suggest(p), s"suggest '$p'")
+    assert(lsm.indexStats().collect().toSeq.map(_.toSeq) ==
+      engine.indexStats().collect().toSeq.map(_.toSeq))
+    for (src <- Bm25.MltSources)
+      assert(collectTopK(lsm.moreLikeThis(src)).sortBy(t => (-t._2, t._1)) ==
+        collectTopK(engine.moreLikeThis(src)).sortBy(t => (-t._2, t._1)),
+        s"moreLikeThis $src")
+    // paging across the delta boundary
+    val top20 = collectTopK(engine.topK("hash join", 20, rounded = true))
+      .sortBy(t => (-t._2, t._1))
+    val (cDoc, cScore) = top20(9)
+    assert(collectTopK(lsm.topKAfter("hash join", 10, cScore, cDoc,
+        rounded = true)).sortBy(t => (-t._2, t._1)) == top20.drop(10))
+    lsm.close()
   }
 
   test("indexStats: index metadata equals corpus-derived truth") {
