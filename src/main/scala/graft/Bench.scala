@@ -266,7 +266,22 @@ object Bench {
       }.sorted
       def wpct(p: Double) = wlats(
         math.min(wlats.length - 1, math.ceil(p * wlats.length).toInt - 1).max(0))
-      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"""
+      // unified search-box latency rides the same positional engine: the
+      // fixed mixed set (bare terms + "phrases" + -negations per string)
+      Bm25.MixedQuerySet.foreach { case (_, q) =>
+        pengine.search(q, rounded = true).collect()
+      }
+      val mlats = Bm25.MixedQuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          pengine.search(q, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def mpct(p: Double) = mlats(
+        math.min(mlats.length - 1, math.ceil(p * mlats.length).toInt - 1).max(0))
+      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"search_p50_ms":${mpct(0.5)}%.3f,"search_p95_ms":${mpct(0.95)}%.3f,"""
     }
 
     // total-hits count latency (peak child only): the pooled/driver count

@@ -88,6 +88,15 @@ object Explain {
       new QueryEngine(spark, Seq(posDir), localWandUpTo = 0L)
         .topKWindow("hash join", 8))
 
+    show("unified search-box query (terms + phrase + NOT, scan path)",
+      "Expect: IDENTICAL shape to the AND scan path — no Exchange before " +
+        "the WAND mapPartitions, one TakeOrderedAndProject. The quoted " +
+        "phrase rides the kernel's positional gate and the -negation an " +
+        "anti-posting iterator: parsing one raw search string adds zero " +
+        "plan operators over plain AND.",
+      new QueryEngine(spark, Seq(posDir), localWandUpTo = 0L)
+        .search("""scan "table hash" -slow"""))
+
     show("indexed BM25 top-k, prefix expansion (scan path, physical)",
       "Expect: SAME shape as multi-term OR — the expansion happened " +
         "driver-side against the pinned dictionary (no job), and the " +

@@ -169,6 +169,16 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllPhraseFiltered(allowed)
   }
 
+  /** Unified search-box queries — ONE raw string per query mixing bare
+    * terms, quoted phrases and `-negations` (QueryEngine.search) — over
+    * the positional index (phrases need positions). */
+  def indexedSearchTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    new QueryEngine(spark, Seq(indexDir)).searchAll()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- corpus mapping + per-row sha256 invariant (input_hint; SURVEY §1.2)
@@ -231,6 +241,11 @@ object SparkEntry {
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
+
+    // -- unified search-box front door: terms + "phrases" + -negations
+    //    parsed from one raw string, composed in one WAND kernel pass
+    "search_mixed_oracle" -> ((s, dir) => Bm25.oracleMixedTopK(s, dir)),
+    "search_mixed" -> ((s, dir) => indexedSearchTopK(s, dir)),
 
     // -- query-focused snippets over the top-k result docs
     "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
@@ -411,6 +426,8 @@ object SparkEntry {
     "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
     "bm25_fuzzy_oracle" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
+    "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
+    "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),

@@ -61,4 +61,82 @@ object Analyzer {
     (pos.flatMap(tokenize).distinct.sorted.toSeq,
      neg.flatMap(p => tokenize(p.drop(1))).distinct.sorted.toSeq)
   }
+
+  /** Parsed search-box query — the unified front door's grammar
+    * ([[parseSearch]]). `pos` contains EVERY positive scoring term
+    * (bare pieces AND the tokens of every quoted phrase), distinct +
+    * ascending — the BM25 association order, as [[queryTerms]].
+    * `phrases` keeps each multi-token quoted piece as its token
+    * sequence (input order, duplicates preserved — a phrase like
+    * `"batch batch"` needs both occurrences for the adjacency test). */
+  final case class SearchQuery(
+      pos: Seq[String],
+      neg: Seq[String],
+      phrases: Seq[Seq[String]],
+      prefixes: Seq[String],
+      fuzzies: Seq[String])
+
+  /** Search-box query parser: one raw string → [[SearchQuery]].
+    *
+    * Grammar (the classic web-search syntax):
+    *   - bare piece            → positive term(s) (analyzer-tokenized)
+    *   - `-piece`              → negated term(s) (boolean NOT)
+    *   - `"multi word"`        → exact-phrase requirement; its terms also
+    *                             join the positive (scoring) term set.
+    *                             A single-token quoted piece degrades to
+    *                             a plain term (adjacency is vacuous).
+    *   - `piece*`              → prefix-expansion piece
+    *   - `piece~`              → fuzzy-expansion (Levenshtein-1) piece
+    *
+    * An unterminated quote runs to end-of-string. A negated quoted piece
+    * (`-"a b"`) is rejected — NOT-phrase needs an anti positional gate
+    * the kernels deliberately do not grow (reject > silently wrong).
+    * Marker suffixes on negated pieces are inert (the analyzer strips
+    * non-alnum anyway): `-foo*` negates the term `foo`. */
+  def parseSearch(q: String): SearchQuery = {
+    // (text, quoted, negated) raw pieces, quote-aware whitespace split
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Boolean)]
+    val n = q.length
+    var i = 0
+    while (i < n) {
+      if (q.charAt(i).isWhitespace) i += 1
+      else {
+        var negated = false
+        if (q.charAt(i) == '-' && i + 1 < n && !q.charAt(i + 1).isWhitespace) {
+          negated = true; i += 1
+        }
+        if (i < n && q.charAt(i) == '"') {
+          val end = q.indexOf('"', i + 1)
+          val stop = if (end < 0) n else end
+          pieces += ((q.substring(i + 1, stop), true, negated))
+          i = if (end < 0) n else end + 1
+        } else {
+          var j = i
+          while (j < n && !q.charAt(j).isWhitespace && q.charAt(j) != '"') j += 1
+          if (j > i) pieces += ((q.substring(i, j), false, negated))
+          i = j
+        }
+      }
+    }
+    require(!pieces.exists(p => p._2 && p._3),
+      "negated phrases (-\"...\") are not supported")
+    val phrases = pieces.collect { case (t, true, false) => tokenize(t) }
+      .filter(_.length >= 2).toSeq
+    val prefixes = pieces.collect {
+      case (t, false, false) if t.length > 1 && t.endsWith("*") =>
+        tokenize(t.dropRight(1)).mkString
+    }.filter(_.nonEmpty).toSeq
+    val fuzzies = pieces.collect {
+      case (t, false, false) if t.length > 1 && t.endsWith("~") =>
+        tokenize(t.dropRight(1)).mkString
+    }.filter(_.nonEmpty).toSeq
+    val bare = pieces.collect {
+      case (t, false, false) if !(t.length > 1 && (t.endsWith("*") || t.endsWith("~"))) => t
+      case (t, true, false) => t // single-token quoted pieces fall through here too
+    }
+    val pos = (bare.flatMap(tokenize) ++ phrases.flatten).distinct.sorted.toSeq
+    val neg = pieces.collect { case (t, false, true) => t }
+      .flatMap(tokenize).distinct.sorted.toSeq
+    SearchQuery(pos, neg, phrases, prefixes, fuzzies)
+  }
 }

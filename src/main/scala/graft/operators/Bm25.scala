@@ -125,6 +125,25 @@ object Bm25 {
     "n06" -> "the -table",
   )
 
+  /** Fixed mixed search-box query set (FIXTURES.md §23): ONE raw string
+    * combining bare terms, quoted phrases and `-negations` — the unified
+    * front door's grammar (QueryEngine.search). Covers: term+phrase,
+    * phrase+NOT, term+phrase+NOT, two phrases conjoined, trigram
+    * phrase+term, absent-phrase-term (∅), self-negation (∅), plain
+    * single term (parser degenerate case), single-token quoted piece
+    * (≡ plain term — adjacency vacuous). */
+  val MixedQuerySet: Seq[(String, String)] = Seq(
+    "m01" -> "scan \"table hash\"",
+    "m02" -> "\"slow key\" -window",
+    "m03" -> "merge \"table hash\" -slow",
+    "m04" -> "\"table hash\" \"slow key\"",
+    "m05" -> "\"stream table hash\" batch",
+    "m06" -> "scan \"window zzzzunknown\"",
+    "m07" -> "batch -batch",
+    "m08" -> "window",
+    "m09" -> "\"window\" scan",
+  )
+
   // ---------------------------------------------------------------- stats
 
   /** (docID, term, tf) — term frequency per document. One shuffle
@@ -425,6 +444,59 @@ object Bm25 {
       val score = terms.map(t => col(t)).reduce(_ + _)
       (if (allowed == null) pivoted
        else pivoted.join(broadcast(allowed), Seq("docID"), "left_semi"))
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Brute-force mixed search-box BM25 top-k over [[MixedQuerySet]]:
+    * parse each raw query string ([[Analyzer.parseSearch]]), then the
+    * same pivoted fixed-association AND scoring as [[oracleTopK]] over
+    * ALL positive terms, gated by one adjacency filter per quoted phrase
+    * ([[phraseAdjCol]]) and an anti-join on the negated terms — phrase
+    * and NOT are pure gates, so ranks among survivors equal plain-AND
+    * ranks (the same contract the engine's kernel gates keep). */
+  def oracleMixedTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val toks = docs.select(col("docID"),
+      Analyzer.tokensCol(col("content")).as("toks"))
+
+    val perQuery = MixedQuerySet.map { case (qid, qtext) =>
+      val p = Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      var base = scored.filter(col("term").isin(terms: _*))
+      for (phrase <- p.phrases) {
+        val adj = toks.filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
+        base = base.join(adj, "docID")
+      }
+      if (p.neg.nonEmpty) {
+        val negDocs = tf.filter(col("term").isin(p.neg: _*))
+          .select(col("docID")).distinct()
+        base = base.join(negDocs, Seq("docID"), "left_anti")
+      }
+      val pivoted = base
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      pivoted
         .filter(allPresent)
         .withColumn("score", round(score, 4))
         .withColumn("rank",
@@ -821,6 +893,78 @@ object Bm25 {
          |      SELECT docID FROM tokarr
          |      WHERE len(list_filter(range(1, len(toks) - ${m - 1} + 1),
          |                            i -> $adjCond)) > 0)$langPred
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleMixedTopK]] (and of the engine's
+    * `searchAll`): the AND-semantics per-query SQL over ALL positive
+    * terms of the parsed search string, plus one list_filter adjacency
+    * subquery per quoted phrase (as the phrase twin) and a `NOT IN` over
+    * the negated terms (as the NOT twin) — both pure gates before
+    * ranking. */
+  def oracleSqlMixedTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tokarr AS (
+         |  SELECT doc_id AS docID,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+         |  FROM documents
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = MixedQuerySet.map { case (qid, qtext) =>
+      val p = graft.functions.Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val phrasePreds = p.phrases.map { phrase =>
+        val m = phrase.length
+        val adjCond = phrase.zipWithIndex
+          .map { case (w, j) => s"toks[CAST(i AS BIGINT)+$j] = '$w'" }.mkString(" AND ")
+        s"""
+           |      AND docID IN (
+           |        SELECT docID FROM tokarr
+           |        WHERE len(list_filter(range(1, len(toks) - ${m - 1} + 1),
+           |                              i -> $adjCond)) > 0)""".stripMargin
+      }.mkString
+      val negPred =
+        if (p.neg.isEmpty) ""
+        else {
+          val negList = p.neg.map(t => s"'$t'").mkString(", ")
+          s"\n      AND docID NOT IN (SELECT docID FROM tf WHERE term IN ($negList))"
+        }
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)$phrasePreds$negPred
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )

@@ -204,7 +204,7 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, phraseSeq, 0, null)
+      rounded, Array(phraseSeq), 0, null)
 
   /** Proximity variant: conjunctive WAND whose aligned candidates must
     * additionally contain ALL query terms within some window of `w`
@@ -219,19 +219,23 @@ object QueryEngine {
       lo: Long, hi: Long, k: Int,
       rounded: Boolean): Seq[ScoredDoc] =
     conjunctiveRange(segsByTerm, termsSorted, lenOf, avgdl, lo, hi, k,
-      rounded, terms, w, null)
+      rounded, Array(terms), w, null)
 
   /** Kernel factory for every (AND/OR/phrase/window) × (gated/ungated)
-    * shape — one 8-arg function the physical paths dispatch on. `posTerms`
-    * (may be null = no positional gate) carries the phrase token sequence
-    * when `windowW == 0`, else the distinct terms of a `windowW`-token
-    * proximity gate. `gate` (may be null = unfiltered) restricts
+    * shape — one 8-arg function the physical paths dispatch on. `posGates`
+    * (may be null = no positional gate) carries one or more phrase token
+    * sequences when `windowW == 0` (ALL must match — the unified search
+    * front door composes several quoted phrases conjunctively), else a
+    * single entry holding the distinct terms of a `windowW`-token
+    * proximity gate. Every gate term must be a scoring term (the search
+    * parser guarantees phrase tokens join the positive term set).
+    * `gate` (may be null = unfiltered) restricts
     * candidates to allowed docIDs at the aligned candidate, BEFORE scoring
     * and heap entry, so filtered top-k is exact (a post-filter of an
     * unfiltered top-k would lose filtered docs ranked below the unfiltered
     * k). Pruning bounds stay admissible: the gate only REMOVES
     * candidates. */
-  def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
+  def kernel(posGates: Array[Array[String]], windowW: Int, orMode: Boolean,
              gate: Long => Boolean,
              afterKey: Double, afterDoc: Long):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
@@ -242,7 +246,7 @@ object QueryEngine {
           afterKey, afterDoc)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
-        conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, posTerms,
+        conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, posGates,
           windowW, gate, afterKey, afterDoc)
 
   /** NOT-aware kernel factory: negated terms become ANTI-POSTING
@@ -261,13 +265,13 @@ object QueryEngine {
     * exactly the contract the stateful anti iterators need. Sharing one
     * gate across ranges (pooled threads, per-task interval lists) would
     * break it; this factory makes that impossible by construction. */
-  def kernel(posTerms: Array[String], windowW: Int, orMode: Boolean,
+  def kernel(posGates: Array[Array[String]], windowW: Int, orMode: Boolean,
              gateFactory: () => (Long => Boolean), negTerms: Array[String],
              afterKey: Double = Double.NaN, afterDoc: Long = 0L):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if ((negTerms == null || negTerms.isEmpty) && gateFactory == null)
-      kernel(posTerms, windowW, orMode, null, afterKey, afterDoc)
+      kernel(posGates, windowW, orMode, null, afterKey, afterDoc)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) => {
         // both gate shapes are STATEFUL cursors (monotone broadcast gate,
@@ -277,7 +281,7 @@ object QueryEngine {
         val g =
           if (negTerms == null || negTerms.isEmpty) base
           else negatedGate(base, negTerms, segs, av, lo)
-        kernel(posTerms, windowW, orMode, g, afterKey, afterDoc)(
+        kernel(posGates, windowW, orMode, g, afterKey, afterDoc)(
           segs, ts, lenOf, av, lo, hi, k, rnd)
       }
 
@@ -426,7 +430,10 @@ object QueryEngine {
       avgdl: Double,
       lo: Long, hi: Long, k: Int,
       rounded: Boolean,
-      phraseSeq: Array[String],
+      // positional gates (null = none): windowW == 0 → each entry is a
+      // phrase token sequence and ALL must match; windowW > 0 → single
+      // entry holding the proximity gate's distinct terms
+      posGates: Array[Array[String]],
       windowW: Int,
       allowed: Long => Boolean,
       // search-after cursor (pagination): a doc whose ranking key
@@ -443,7 +450,7 @@ object QueryEngine {
     // anti-posting lists of negated terms) beyond the scoring terms
     if (n == 0 || termsSorted.exists(tc => !segsByTerm.contains(tc.term)))
       return Nil
-    val needPos = phraseSeq != null
+    val needPos = posGates != null
     val iters = termsSorted.map(tc =>
       new PostingListIterator(segsByTerm(tc.term), avgdl, needPos))
     iters.foreach(_.advance(lo))
@@ -498,11 +505,11 @@ object QueryEngine {
         } else if (allowed != null && !allowed(candidate)) {
           // filtered out — never scored, never enters the heap
           iters(order(0)).advance(candidate + 1)
-        } else if (phraseSeq != null && {
+        } else if (posGates != null && {
             val byTerm = termsSorted.iterator.zipWithIndex
               .map { case (tc, ti) => tc.term -> iters(ti).positions }.toMap
-            if (windowW > 0) !windowMatch(byTerm, phraseSeq, windowW)
-            else !phraseMatch(byTerm, phraseSeq)
+            if (windowW > 0) !windowMatch(byTerm, posGates(0), windowW)
+            else !posGates.forall(p => phraseMatch(byTerm, p))
           }) {
           // all terms present but never consecutively (phrase) / never
           // within one w-token window (proximity) — not a hit
@@ -1638,6 +1645,50 @@ final class QueryEngine(
       gateBc = facet.gateBc, gateNegate = facet.negate,
       postFilter = facet.postFilter)
 
+  /** Unified query-string front door — ONE raw search-box string, parsed
+    * by [[graft.functions.Analyzer.parseSearch]] into the engine's
+    * composable retrieval modes:
+    *
+    *   `search("""merge "table hash" -slow""")`
+    *
+    * ranks docs containing merge ∧ table ∧ hash, with `table hash`
+    * adjacent, and without slow — BM25-scored over ALL positive distinct
+    * terms (phrase tokens included), so quoted adjacency and `-negation`
+    * are pure GATES and ranks among survivors equal the plain-AND ranks
+    * (the SQL twin: HAVING all terms + one adjacency subquery per phrase
+    * + NOT IN). Multiple quoted phrases compose conjunctively inside the
+    * same WAND kernel pass; phrases require a positional index.
+    *
+    * Dispatch rules: a `piece*` (prefix) or `piece~` (fuzzy) marker must
+    * be the whole query — their OR-over-expansion semantics don't
+    * compose with AND gates ([[topKPrefix]]/[[topKFuzzy]] are the
+    * targets). `orMode` applies only to phrase-free queries (phrases
+    * imply AND). Only-negative or empty queries return ∅. */
+  def search(qtext: String, k: Int = Bm25.K, rounded: Boolean = false,
+             orMode: Boolean = false): DataFrame = {
+    val p = Analyzer.parseSearch(qtext)
+    if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty) {
+      require(p.prefixes.size + p.fuzzies.size == 1 && p.pos.isEmpty &&
+        p.neg.isEmpty && p.phrases.isEmpty,
+        "a prefix* / fuzzy~ piece must be the only piece of the query")
+      if (p.prefixes.nonEmpty) topKPrefix(p.prefixes.head, k, rounded)
+      else topKFuzzy(p.fuzzies.head, k, rounded)
+    } else if (p.phrases.isEmpty) {
+      topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg)
+    } else {
+      require(!orMode, "quoted phrases imply AND semantics (orMode unsupported)")
+      topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
+        negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray)
+    }
+  }
+
+  /** Driver-contract frame over the fixed mixed search-box query set
+    * ([[Bm25.MixedQuerySet]]): (query, rank, docID, score), rounded. */
+  def searchAll(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.MixedQuerySet.map { case (qid, q) =>
+      qid -> search(q, k, rounded = true)
+    })
+
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
                        orMode: Boolean, phraseMode: Boolean = false,
                        // >0: proximity gate — all query terms within some
@@ -1662,13 +1713,20 @@ final class QueryEngine(
                        // rounded mode the cursor score is compared on its
                        // 4-decimal rounding, matching the heap key.
                        afterScore: Double = Double.NaN,
-                       afterDoc: Long = 0L): DataFrame = {
+                       afterDoc: Long = 0L,
+                       // explicit phrase gates (unified search): each
+                       // entry is one quoted phrase's token sequence,
+                       // ALL must match; every gate term must appear in
+                       // qtext (the scoring term set). Overrides the
+                       // phraseMode/windowW-derived gate.
+                       phraseSeqs: Array[Array[String]] = null): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
-    val phraseSeq: Array[String] =
-      if (phraseMode) Analyzer.tokenize(qtext).toArray
-      else if (windowW > 0) terms.toArray
+    val posGates: Array[Array[String]] =
+      if (phraseSeqs != null) phraseSeqs
+      else if (phraseMode) Array(Analyzer.tokenize(qtext).toArray)
+      else if (windowW > 0) Array(terms.toArray)
       else null
     val perDir = lookupPerDir(terms)
     // negated terms absent from the dictionary exclude nothing — drop
@@ -1718,7 +1776,7 @@ final class QueryEngine(
       else afterScore
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
-      QueryEngine.kernel(phraseSeq, windowW, orMode, gateF, negPresent,
+      QueryEngine.kernel(posGates, windowW, orMode, gateF, negPresent,
         afterKey, afterDoc)
 
     // ---- driver-local fast path -------------------------------------

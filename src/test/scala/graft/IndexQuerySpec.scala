@@ -436,6 +436,89 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[Exception] { engine.topKWindow("table hash", 4).collect() }
   }
 
+  test("search parser: quotes, negation, markers, malformed input") {
+    import graft.functions.Analyzer.parseSearch
+    val p = parseSearch("""merge "table hash" -slow""")
+    assert(p.pos == Seq("hash", "merge", "table"))
+    assert(p.neg == Seq("slow"))
+    assert(p.phrases == Seq(Seq("table", "hash")))
+    assert(p.prefixes.isEmpty && p.fuzzies.isEmpty)
+    // single-token quoted piece degrades to a plain term (no phrase)
+    val q = parseSearch(""""window" scan""")
+    assert(q.phrases.isEmpty && q.pos == Seq("scan", "window"))
+    // two phrases, duplicate tokens deduped in pos, kept in phrases
+    val r = parseSearch(""""table hash" "batch batch"""")
+    assert(r.phrases == Seq(Seq("table", "hash"), Seq("batch", "batch")))
+    assert(r.pos == Seq("batch", "hash", "table"))
+    // markers
+    assert(parseSearch("ta*").prefixes == Seq("ta"))
+    assert(parseSearch("hsh~").fuzzies == Seq("hsh"))
+    // unterminated quote runs to end-of-string
+    assert(parseSearch(""""stream table""").phrases == Seq(Seq("stream", "table")))
+    // negated phrase rejected; bare '-' and empty input are inert
+    intercept[IllegalArgumentException] { parseSearch("""-"table hash"""") }
+    assert(parseSearch("- ").pos.isEmpty)
+    assert(parseSearch("").pos.isEmpty)
+  }
+
+  test("search: rounded mixed frame matches brute-force mixed oracle (every query)") {
+    val oracle = Bm25.oracleMixedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = posEngine.searchAll().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    // the set exercises non-trivial matches: term+phrase and phrase+NOT
+    // queries must return rows on this corpus
+    val qids = indexed.map(_.head).toSet
+    for (mustMatch <- Seq("m01", "m02", "m03", "m05"))
+      assert(qids.contains(mustMatch), s"$mustMatch matched nothing")
+    // the ∅-by-construction queries must stay empty
+    for (mustBeEmpty <- Seq("m06", "m07"))
+      assert(!qids.contains(mustBeEmpty), s"$mustBeEmpty should be empty")
+  }
+
+  test("search: dispatch degenerates to the dedicated modes exactly") {
+    built
+    assert(collectTopK(posEngine.search("hash join")) ==
+      collectTopK(posEngine.topK("hash join")))
+    assert(collectTopK(posEngine.search("hash join", orMode = true)) ==
+      collectTopK(posEngine.topKOr("hash join")))
+    assert(collectTopK(posEngine.search("hash join -window")) ==
+      collectTopK(posEngine.topKNot("hash join -window")))
+    assert(collectTopK(posEngine.search("\"table hash\"")) ==
+      collectTopK(posEngine.topKPhrase("table hash")))
+    assert(collectTopK(posEngine.search("ta*")) ==
+      collectTopK(posEngine.topKPrefix("ta")))
+    assert(collectTopK(posEngine.search("hsh~")) ==
+      collectTopK(posEngine.topKFuzzy("hsh")))
+    // invalid compositions are rejected, not silently re-interpreted
+    intercept[IllegalArgumentException] { posEngine.search("ta* window") }
+    intercept[IllegalArgumentException] {
+      posEngine.search("scan \"table hash\"", orMode = true)
+    }
+  }
+
+  test("search: mixed query equals the exhaustive gate construction; all paths agree") {
+    built
+    val qtext = """scan "table hash" -slow"""
+    // exhaustive twin: deep AND ranking over all positive terms, gated by
+    // the phrase-match set and the negated-term set
+    val phraseDocs = collectTopK(posEngine.topKPhrase("table hash", k = 100000))
+      .map(_._1).toSet
+    val negDocs = collectTopK(posEngine.topK("slow", k = 100000)).map(_._1).toSet
+    val expected = collectTopK(posEngine.topK("scan table hash", k = 100000))
+      .filter(r => phraseDocs.contains(r._1) && !negDocs.contains(r._1))
+      .take(Bm25.K)
+    assert(expected.nonEmpty, "fixture: mixed query should match documents")
+    assert(collectTopK(posEngine.search(qtext)) == expected)
+    // distributed (no driver-local) and range paths return the same frame
+    val posDir = "target/test-index-pos-sf0001"
+    val dist = new QueryEngine(spark, Seq(posDir), localWandUpTo = 0L)
+    val range = new QueryEngine(spark, Seq(posDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    assert(collectTopK(dist.search(qtext)) == expected, "scan path")
+    assert(collectTopK(range.search(qtext)) == expected, "range path")
+    dist.close(); range.close()
+  }
+
   test("prefix: rank-identity vs exact prefix oracle (every prefix query)") {
     built
     for ((qid, prefix) <- Bm25.PrefixQuerySet) {
