@@ -179,6 +179,23 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).searchAll()
   }
 
+  /** Field-faceted search-box queries: the mixed grammar plus one
+    * `lang:value` facet piece per query string, resolved to a prepared
+    * Facet gate over the corpus's lang metadata (content-keyed broadcast
+    * LRU — repeated field values reship nothing). */
+  def indexedSearchFieldTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    val docs = Corpus.docs(spark, sfDir)
+    val resolver = (f: String, v: String) => {
+      require(f == "lang", s"unknown field: $f")
+      eng.prepareFilter(docs.filter(col("lang") === v).select(col("docID")))
+    }
+    eng.searchFieldAll(resolver)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- corpus mapping + per-row sha256 invariant (input_hint; SURVEY §1.2)
@@ -246,6 +263,11 @@ object SparkEntry {
     //    parsed from one raw string, composed in one WAND kernel pass
     "search_mixed_oracle" -> ((s, dir) => Bm25.oracleMixedTopK(s, dir)),
     "search_mixed" -> ((s, dir) => indexedSearchTopK(s, dir)),
+
+    // -- field-faceted search box: `lang:value` pieces resolve to facet
+    //    gates inside the same kernel pass (corpus-global stats)
+    "search_field_oracle" -> ((s, dir) => Bm25.oracleFieldTopK(s, dir)),
+    "search_field" -> ((s, dir) => indexedSearchFieldTopK(s, dir)),
 
     // -- query-focused snippets over the top-k result docs
     "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
@@ -428,6 +450,8 @@ object SparkEntry {
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
+    "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),
+    "search_field" -> Bm25.oracleSqlFieldTopK(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),

@@ -74,7 +74,10 @@ object Analyzer {
       neg: Seq[String],
       phrases: Seq[Seq[String]],
       prefixes: Seq[String],
-      fuzzies: Seq[String])
+      fuzzies: Seq[String],
+      // `field:value` facet pieces (input order); the VALUE is kept raw
+      // (field values are metadata, not analyzed text)
+      fields: Seq[(String, String)] = Nil)
 
   /** Search-box query parser: one raw string → [[SearchQuery]].
     *
@@ -88,9 +91,13 @@ object Analyzer {
     *   - `piece*`              → prefix-expansion piece
     *   - `piece~`              → fuzzy-expansion (Levenshtein-1) piece
     *
+    *   - `field:value`        → facet restriction (e.g. `lang:en`); the
+    *                             value is raw metadata, not analyzed
+    *
     * An unterminated quote runs to end-of-string. A negated quoted piece
     * (`-"a b"`) is rejected — NOT-phrase needs an anti positional gate
-    * the kernels deliberately do not grow (reject > silently wrong).
+    * the kernels deliberately do not grow — and so is a negated field
+    * piece (`-lang:en`; compose a deny facet explicitly instead).
     * Marker suffixes on negated pieces are inert (the analyzer strips
     * non-alnum anyway): `-foo*` negates the term `foo`. */
   def parseSearch(q: String): SearchQuery = {
@@ -120,23 +127,30 @@ object Analyzer {
     }
     require(!pieces.exists(p => p._2 && p._3),
       "negated phrases (-\"...\") are not supported")
+    val FieldPat = "([A-Za-z][A-Za-z0-9_]*):(.+)".r
+    require(!pieces.exists(p => !p._2 && p._3 && FieldPat.matches(p._1)),
+      "negated field pieces (-field:value) are not supported; use a deny facet")
+    val fields = pieces.collect {
+      case (FieldPat(f, v), false, false) => (f, v)
+    }.toSeq
     val phrases = pieces.collect { case (t, true, false) => tokenize(t) }
       .filter(_.length >= 2).toSeq
     val prefixes = pieces.collect {
-      case (t, false, false) if t.length > 1 && t.endsWith("*") =>
-        tokenize(t.dropRight(1)).mkString
+      case (t, false, false) if t.length > 1 && t.endsWith("*") &&
+        !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
     val fuzzies = pieces.collect {
-      case (t, false, false) if t.length > 1 && t.endsWith("~") =>
-        tokenize(t.dropRight(1)).mkString
+      case (t, false, false) if t.length > 1 && t.endsWith("~") &&
+        !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
     val bare = pieces.collect {
-      case (t, false, false) if !(t.length > 1 && (t.endsWith("*") || t.endsWith("~"))) => t
+      case (t, false, false) if !(t.length > 1 && (t.endsWith("*") || t.endsWith("~"))) &&
+        !FieldPat.matches(t) => t
       case (t, true, false) => t // single-token quoted pieces fall through here too
     }
     val pos = (bare.flatMap(tokenize) ++ phrases.flatten).distinct.sorted.toSeq
     val neg = pieces.collect { case (t, false, true) => t }
       .flatMap(tokenize).distinct.sorted.toSeq
-    SearchQuery(pos, neg, phrases, prefixes, fuzzies)
+    SearchQuery(pos, neg, phrases, prefixes, fuzzies, fields)
   }
 }

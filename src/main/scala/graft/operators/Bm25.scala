@@ -144,6 +144,19 @@ object Bm25 {
     "m09" -> "\"window\" scan",
   )
 
+  /** Fixed field-faceted search-box query set (FIXTURES.md §23): the
+    * mixed grammar plus one `lang:value` facet piece per query —
+    * term+phrase+facet, term+NOT+facet, lone-phrase+facet, absent facet
+    * value (∅), stop-word+facet. Scoring stats stay corpus-global (the
+    * faceted-retrieval contract); the facet is a pure gate. */
+  val FieldQuerySet: Seq[(String, String)] = Seq(
+    "f01" -> "scan \"table hash\" lang:en",
+    "f02" -> "window -batch lang:de",
+    "f03" -> "\"slow key\" lang:en",
+    "f04" -> "hash join lang:zz",
+    "f05" -> "the lang:fr",
+  )
+
   // ---------------------------------------------------------------- stats
 
   /** (docID, term, tf) — term frequency per document. One shuffle
@@ -481,6 +494,64 @@ object Bm25 {
       val p = Analyzer.parseSearch(qtext)
       val terms = p.pos
       var base = scored.filter(col("term").isin(terms: _*))
+      for (phrase <- p.phrases) {
+        val adj = toks.filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
+        base = base.join(adj, "docID")
+      }
+      if (p.neg.nonEmpty) {
+        val negDocs = tf.filter(col("term").isin(p.neg: _*))
+          .select(col("docID")).distinct()
+        base = base.join(negDocs, Seq("docID"), "left_anti")
+      }
+      val pivoted = base
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map(t => col(t)).reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Brute-force field-faceted search-box BM25 top-k over
+    * [[FieldQuerySet]]: [[oracleMixedTopK]]'s gate construction plus a
+    * semi-join on the `lang:value` facet's docID set — the facet is a
+    * pure gate over corpus-global scoring, the faceted-retrieval
+    * contract ([[oraclePhraseTopK]]'s `langFilter` generalized to the
+    * parsed grammar). */
+  def oracleFieldTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val toks = docs.select(col("docID"),
+      Analyzer.tokensCol(col("content")).as("toks"))
+
+    val perQuery = FieldQuerySet.map { case (qid, qtext) =>
+      val p = Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      var base = scored.filter(col("term").isin(terms: _*))
+      for ((f, v) <- p.fields) {
+        require(f == "lang", s"oracle supports the lang field, got $f")
+        base = base.join(
+          broadcast(docs.filter(col("lang") === v).select(col("docID"))),
+          Seq("docID"), "left_semi")
+      }
       for (phrase <- p.phrases) {
         val adj = toks.filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
         base = base.join(adj, "docID")
@@ -907,7 +978,14 @@ object Bm25 {
     * subquery per quoted phrase (as the phrase twin) and a `NOT IN` over
     * the negated terms (as the NOT twin) — both pure gates before
     * ranking. */
-  def oracleSqlMixedTopK(k: Int = K): String = {
+  def oracleSqlMixedTopK(k: Int = K): String = searchBoxSql(MixedQuerySet, k)
+
+  /** DuckDB twin of [[oracleFieldTopK]] (and of the engine's
+    * `searchFieldAll`): the mixed twin plus a `docID IN (docs of the
+    * lang facet)` gate per `field:value` piece. */
+  def oracleSqlFieldTopK(k: Int = K): String = searchBoxSql(FieldQuerySet, k)
+
+  private def searchBoxSql(querySet: Seq[(String, String)], k: Int): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
@@ -935,7 +1013,7 @@ object Bm25 {
          |           AS contrib
          |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
          |)""".stripMargin
-    val perQuery = MixedQuerySet.map { case (qid, qtext) =>
+    val perQuery = querySet.map { case (qid, qtext) =>
       val p = graft.functions.Analyzer.parseSearch(qtext)
       val terms = p.pos
       val inList = terms.map(t => s"'$t'").mkString(", ")
@@ -943,6 +1021,10 @@ object Bm25 {
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
       val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val fieldPreds = p.fields.map { case (f, v) =>
+        require(f == "lang", s"SQL twin supports the lang field, got $f")
+        s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$v')"
+      }.mkString
       val phrasePreds = p.phrases.map { phrase =>
         val m = phrase.length
         val adjCond = phrase.zipWithIndex
@@ -964,7 +1046,7 @@ object Bm25 {
          |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
          |  FROM (
          |    SELECT docID, $cs
-         |    FROM scored WHERE term IN ($inList)$phrasePreds$negPred
+         |    FROM scored WHERE term IN ($inList)$fieldPreds$phrasePreds$negPred
          |    GROUP BY docID
          |    HAVING count(*) = ${terms.size}
          |  )

@@ -1663,22 +1663,52 @@ final class QueryEngine(
     * be the whole query — their OR-over-expansion semantics don't
     * compose with AND gates ([[topKPrefix]]/[[topKFuzzy]] are the
     * targets). `orMode` applies only to phrase-free queries (phrases
-    * imply AND). Only-negative or empty queries return ∅. */
+    * imply AND). Only-negative or empty queries return ∅.
+    *
+    * A `field:value` piece (e.g. `lang:en`) becomes a facet gate inside
+    * the same kernel pass — scoring stats stay corpus-global, exactly
+    * [[topKFiltered]]'s contract. The index stores postings, not doc
+    * metadata, so resolving a field value to its docID set is the
+    * CALLER's job via `fieldFacet` (at corpus scale that resolver is a
+    * doc-metadata index; the [[Facet]] handle's content-keyed broadcast
+    * LRU makes repeated field queries reship nothing). One positive
+    * field piece per query in this version. */
   def search(qtext: String, k: Int = Bm25.K, rounded: Boolean = false,
-             orMode: Boolean = false): DataFrame = {
+             orMode: Boolean = false,
+             fieldFacet: (String, String) => Facet = null): DataFrame = {
     val p = Analyzer.parseSearch(qtext)
+    val facet: Facet =
+      if (p.fields.isEmpty) null
+      else {
+        require(fieldFacet != null,
+          s"query has field piece(s) ${p.fields.mkString(", ")} but no fieldFacet resolver")
+        require(p.fields.size == 1,
+          "at most one field:value piece per query in this version")
+        fieldFacet(p.fields.head._1, p.fields.head._2)
+      }
     if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty) {
       require(p.prefixes.size + p.fuzzies.size == 1 && p.pos.isEmpty &&
-        p.neg.isEmpty && p.phrases.isEmpty,
+        p.neg.isEmpty && p.phrases.isEmpty && facet == null,
         "a prefix* / fuzzy~ piece must be the only piece of the query")
       if (p.prefixes.nonEmpty) topKPrefix(p.prefixes.head, k, rounded)
       else topKFuzzy(p.fuzzies.head, k, rounded)
     } else if (p.phrases.isEmpty) {
-      topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg)
+      if (facet == null)
+        topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg)
+      else
+        topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg,
+          gateBc = facet.gateBc, gateNegate = facet.negate,
+          postFilter = facet.postFilter)
     } else {
       require(!orMode, "quoted phrases imply AND semantics (orMode unsupported)")
-      topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
-        negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray)
+      if (facet == null)
+        topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
+          negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray)
+      else
+        topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
+          negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray,
+          gateBc = facet.gateBc, gateNegate = facet.negate,
+          postFilter = facet.postFilter)
     }
   }
 
@@ -1687,6 +1717,15 @@ final class QueryEngine(
   def searchAll(k: Int = Bm25.K): DataFrame =
     contractFrame(Bm25.MixedQuerySet.map { case (qid, q) =>
       qid -> search(q, k, rounded = true)
+    })
+
+  /** Driver-contract frame over the fixed field-faceted search-box set
+    * ([[Bm25.FieldQuerySet]]), resolving `field:value` pieces through
+    * the caller-supplied facet resolver. */
+  def searchFieldAll(fieldFacet: (String, String) => Facet,
+                     k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.FieldQuerySet.map { case (qid, q) =>
+      qid -> search(q, k, rounded = true, fieldFacet = fieldFacet)
     })
 
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,

@@ -519,6 +519,34 @@ class IndexQuerySpec extends AnyFunSuite {
     dist.close(); range.close()
   }
 
+  test("search: field facet pieces — parser, engine == brute field oracle, guards") {
+    import graft.functions.Analyzer.parseSearch
+    val p = parseSearch("""scan "table hash" lang:en""")
+    assert(p.fields == Seq(("lang", "en")))
+    assert(p.pos == Seq("hash", "scan", "table"))
+    assert(p.phrases == Seq(Seq("table", "hash")))
+    // negated field pieces rejected (deny facets are explicit API)
+    intercept[IllegalArgumentException] { parseSearch("-lang:en window") }
+    // engine vs brute over the whole fixed field set
+    val docs = Corpus.docs(spark, sfDir)
+    val resolver = (f: String, v: String) => {
+      require(f == "lang", s"unknown field: $f")
+      posEngine.prepareFilter(docs.filter(col("lang") === v).select(col("docID")))
+    }
+    val oracle = Bm25.oracleFieldTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = posEngine.searchFieldAll(resolver).collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    val qids = indexed.map(_.head).toSet
+    assert(qids.contains("f05"), "stop-word + facet should match documents")
+    assert(!qids.contains("f04"), "absent facet value must stay empty")
+    // a field piece without a resolver is an error, not a silent ignore
+    intercept[IllegalArgumentException] { posEngine.search("window lang:en") }
+    // more than one field piece is rejected in this version
+    intercept[IllegalArgumentException] {
+      posEngine.search("window lang:en lang:de", fieldFacet = resolver)
+    }
+  }
+
   test("prefix: rank-identity vs exact prefix oracle (every prefix query)") {
     built
     for ((qid, prefix) <- Bm25.PrefixQuerySet) {
