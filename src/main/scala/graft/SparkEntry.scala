@@ -196,6 +196,15 @@ object SparkEntry {
     eng.searchFieldAll(resolver)
   }
 
+  /** Boosted search-box queries: `term^w` weighted pieces in the mixed
+    * grammar (positional index — the set includes a boost×phrase case). */
+  def indexedSearchBoostedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir,
+      Index.BuildParams(storePositions = true))
+    new QueryEngine(spark, Seq(indexDir)).searchBoostedAll()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- corpus mapping + per-row sha256 invariant (input_hint; SURVEY §1.2)
@@ -268,6 +277,11 @@ object SparkEntry {
     //    gates inside the same kernel pass (corpus-global stats)
     "search_field_oracle" -> ((s, dir) => Bm25.oracleFieldTopK(s, dir)),
     "search_field" -> ((s, dir) => indexedSearchFieldTopK(s, dir)),
+
+    // -- boosted search box: `term^w` weights fold into the WAND bounds
+    //    as an outer multiply (bit-exact no-op at w = 1.0)
+    "search_boosted_oracle" -> ((s, dir) => Bm25.oracleBoostedTopK(s, dir)),
+    "search_boosted" -> ((s, dir) => indexedSearchBoostedTopK(s, dir)),
 
     // -- query-focused snippets over the top-k result docs
     "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
@@ -452,6 +466,8 @@ object SparkEntry {
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),
     "search_field" -> Bm25.oracleSqlFieldTopK(),
+    "search_boosted_oracle" -> Bm25.oracleSqlBoostedTopK(),
+    "search_boosted" -> Bm25.oracleSqlBoostedTopK(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),

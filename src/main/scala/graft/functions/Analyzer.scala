@@ -77,7 +77,10 @@ object Analyzer {
       fuzzies: Seq[String],
       // `field:value` facet pieces (input order); the VALUE is kept raw
       // (field values are metadata, not analyzed text)
-      fields: Seq[(String, String)] = Nil)
+      fields: Seq[(String, String)] = Nil,
+      // per-term scoring weights from `term^w` pieces; terms absent from
+      // the map weigh 1.0
+      boosts: Map[String, Double] = Map.empty)
 
   /** Search-box query parser: one raw string → [[SearchQuery]].
     *
@@ -93,6 +96,8 @@ object Analyzer {
     *
     *   - `field:value`        → facet restriction (e.g. `lang:en`); the
     *                             value is raw metadata, not analyzed
+    *   - `piece^w`             → boost: the piece's term(s) weigh w (> 0)
+    *                             in the BM25 sum instead of 1.0
     *
     * An unterminated quote runs to end-of-string. A negated quoted piece
     * (`-"a b"`) is rejected — NOT-phrase needs an anti positional gate
@@ -130,27 +135,53 @@ object Analyzer {
     val FieldPat = "([A-Za-z][A-Za-z0-9_]*):(.+)".r
     require(!pieces.exists(p => !p._2 && p._3 && FieldPat.matches(p._1)),
       "negated field pieces (-field:value) are not supported; use a deny facet")
-    val fields = pieces.collect {
+    // `piece^w` boosts: resolved BEFORE the field/prefix/fuzzy collects so
+    // a stripped piece classifies as a plain bare term. A `^w` right after
+    // a closing quote splits into its own piece — reject it (phrase boosts
+    // would weigh the phrase's tokens individually; reject > surprising).
+    val BoostPat = "(.+)\\^(\\d+(?:\\.\\d+)?)".r
+    require(!pieces.exists(_._1.startsWith("^")),
+      "dangling ^w piece (phrase boosts \"...\"^w are not supported)")
+    require(!pieces.exists(p => !p._2 && p._3 && BoostPat.matches(p._1)),
+      "boosted negations (-term^w) are not supported (a NOT term never scores)")
+    val boostsB = scala.collection.mutable.Map.empty[String, Double]
+    val pieces2 = pieces.map {
+      case (BoostPat(base, w), false, false) =>
+        require(!FieldPat.matches(base),
+          s"boosted field pieces ($base^$w) are not supported")
+        require(!(base.length > 1 && (base.endsWith("*") || base.endsWith("~"))),
+          s"boosted prefix*/fuzzy~ pieces ($base^$w) are not supported")
+        val wd = w.toDouble
+        require(wd > 0.0, s"boost must be > 0: $base^$w")
+        for (t <- tokenize(base)) {
+          require(!boostsB.contains(t) || boostsB(t) == wd,
+            s"conflicting boosts for term '$t'")
+          boostsB(t) = wd
+        }
+        (base, false, false)
+      case p => p
+    }
+    val fields = pieces2.collect {
       case (FieldPat(f, v), false, false) => (f, v)
     }.toSeq
-    val phrases = pieces.collect { case (t, true, false) => tokenize(t) }
+    val phrases = pieces2.collect { case (t, true, false) => tokenize(t) }
       .filter(_.length >= 2).toSeq
-    val prefixes = pieces.collect {
+    val prefixes = pieces2.collect {
       case (t, false, false) if t.length > 1 && t.endsWith("*") &&
         !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
-    val fuzzies = pieces.collect {
+    val fuzzies = pieces2.collect {
       case (t, false, false) if t.length > 1 && t.endsWith("~") &&
         !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
-    val bare = pieces.collect {
+    val bare = pieces2.collect {
       case (t, false, false) if !(t.length > 1 && (t.endsWith("*") || t.endsWith("~"))) &&
         !FieldPat.matches(t) => t
       case (t, true, false) => t // single-token quoted pieces fall through here too
     }
     val pos = (bare.flatMap(tokenize) ++ phrases.flatten).distinct.sorted.toSeq
-    val neg = pieces.collect { case (t, false, true) => t }
+    val neg = pieces2.collect { case (t, false, true) => t }
       .flatMap(tokenize).distinct.sorted.toSeq
-    SearchQuery(pos, neg, phrases, prefixes, fuzzies, fields)
+    SearchQuery(pos, neg, phrases, prefixes, fuzzies, fields, boostsB.toMap)
   }
 }

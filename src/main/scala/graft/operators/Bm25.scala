@@ -144,6 +144,20 @@ object Bm25 {
     "m09" -> "\"window\" scan",
   )
 
+  /** Fixed boosted search-box query set: `term^w` weighted queries —
+    * up-weight flips a ranking, down-weight flips it the other way,
+    * boost×phrase, boost×NOT, fractional boost, boost+absent term (∅).
+    * Weights are short decimal literals, identical doubles on the
+    * Spark and DuckDB sides (both parse correctly-rounded). */
+  val BoostQuerySet: Seq[(String, String)] = Seq(
+    "w01" -> "scan^2 window",
+    "w02" -> "scan window^0.5",
+    "w03" -> "hash^3 join table",
+    "w04" -> "\"table hash\" scan^2",
+    "w05" -> "window^2 -batch",
+    "w06" -> "scan^2.5 zzzzunknown",
+  )
+
   /** Fixed field-faceted search-box query set (FIXTURES.md §23): the
     * mixed grammar plus one `lang:value` facet piece per query —
     * term+phrase+facet, term+NOT+facet, lone-phrase+facet, absent facet
@@ -578,6 +592,63 @@ object Bm25 {
     perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }
 
+  /** Brute-force boosted search-box BM25 top-k over [[BoostQuerySet]]:
+    * [[oracleMixedTopK]]'s gate construction with each term's pivoted
+    * contribution multiplied by its `term^w` weight before the fixed
+    * ascending-term sum — `contrib * w` commutes bit-exactly with the
+    * kernel's `w * contrib` (IEEE multiplication), so rank identity
+    * holds with no new FP hazard. */
+  def oracleBoostedTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val toks = docs.select(col("docID"),
+      Analyzer.tokensCol(col("content")).as("toks"))
+
+    val perQuery = BoostQuerySet.map { case (qid, qtext) =>
+      val p = Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      var base = scored.filter(col("term").isin(terms: _*))
+      for (phrase <- p.phrases) {
+        val adj = toks.filter(phraseAdjCol(col("toks"), phrase)).select(col("docID"))
+        base = base.join(adj, "docID")
+      }
+      if (p.neg.nonEmpty) {
+        val negDocs = tf.filter(col("term").isin(p.neg: _*))
+          .select(col("docID")).distinct()
+        base = base.join(negDocs, Seq("docID"), "left_anti")
+      }
+      val pivoted = base
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map { t =>
+        p.boosts.get(t) match {
+          case Some(w) => col(t) * lit(w)
+          case None    => col(t)
+        }
+      }.reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
   /** Column predicate: do all `terms` co-occur within some window of `w`
     * consecutive tokens? Pure built-ins — exists over every 1-based start
     * position, slice clamps at the array end. `greatest(..., 1)` guards
@@ -985,6 +1056,11 @@ object Bm25 {
     * lang facet)` gate per `field:value` piece. */
   def oracleSqlFieldTopK(k: Int = K): String = searchBoxSql(FieldQuerySet, k)
 
+  /** DuckDB twin of [[oracleBoostedTopK]] (and of the engine's
+    * `searchBoostedAll`): each pivoted term contribution multiplied by
+    * its `term^w` weight before the fixed-order sum. */
+  def oracleSqlBoostedTopK(k: Int = K): String = searchBoxSql(BoostQuerySet, k)
+
   private def searchBoxSql(querySet: Seq[(String, String)], k: Int): String = {
     val base =
       s"""WITH tok AS (
@@ -1020,7 +1096,14 @@ object Bm25 {
       val cs = terms.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
       }.mkString(", ")
-      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      // `term^w` boosts: `(c_i * w)` — commutes bit-exactly with the
+      // kernel's `w * contrib`; unboosted terms stay bare (x * 1.0 == x)
+      val scoreExpr = terms.zipWithIndex.map { case (t, i) =>
+        p.boosts.get(t) match {
+          case Some(w) => s"(c$i * $w)"
+          case None    => s"c$i"
+        }
+      }.mkString(" + ")
       val fieldPreds = p.fields.map { case (f, v) =>
         require(f == "lang", s"SQL twin supports the lang field, got $f")
         s"\n      AND docID IN (SELECT doc_id FROM documents WHERE lang = '$v')"

@@ -170,7 +170,14 @@ object QueryEngine {
 
   // --------------------------------------------------------- range task
 
-  final case class TermCtx(term: String, df: Long, idf: Double)
+  /** `boost` is the query-time term weight (`term^w` grammar): every
+    * scoring and bound site multiplies the term's contribution by it as
+    * an OUTER factor — `boost * (idf * quotient)` — so `boost == 1.0`
+    * is bit-exact with the unboosted path (IEEE `1.0 * x == x`) and the
+    * Spark/DuckDB twins' commuted `contrib * boost` is the identical
+    * double (FP multiplication is commutative). */
+  final case class TermCtx(term: String, df: Long, idf: Double,
+                           boost: Double = 1.0)
   final case class ScoredDoc(docID: Long, score: Double)
   final case class RangedSeg(rangeId: Int, seg: PostingSegment)
 
@@ -494,7 +501,7 @@ object QueryEngine {
         var minLast = Long.MaxValue
         var i = 0
         while (i < n) {
-          ub += termsSorted(i).idf * iters(i).blockMaxQ
+          ub += termsSorted(i).boost * (termsSorted(i).idf * iters(i).blockMaxQ)
           if (iters(i).blockLastDoc < minLast) minLast = iters(i).blockLastDoc
           i += 1
         }
@@ -522,7 +529,8 @@ object QueryEngine {
           i = 0
           while (i < n) {
             val tfv = iters(i).tf.toDouble
-            score += termsSorted(i).idf * (tfv * 2.2) / (tfv + norm)
+            score += termsSorted(i).boost *
+              (termsSorted(i).idf * (tfv * 2.2) / (tfv + norm))
             i += 1
           }
           val key = keyOf(score)
@@ -665,8 +673,8 @@ object QueryEngine {
     iters.foreach(_.advance(lo))
     // global admissible UB per term: idf × max block quotient anywhere
     val ub = present.map { tc =>
-      tc.idf * segsByTerm(tc.term).iterator.flatMap(s =>
-        s.blockMaxTf.lazyZip(s.blockMinLen).map(Bm25.quotient(_, _, avgdl))).max
+      tc.boost * (tc.idf * segsByTerm(tc.term).iterator.flatMap(s =>
+        s.blockMaxTf.lazyZip(s.blockMinLen).map(Bm25.quotient(_, _, avgdl))).max)
     }
 
     final case class Entry(key: Double, docID: Long, score: Double)
@@ -733,7 +741,7 @@ object QueryEngine {
             while (bi < n) {
               val it = iters(bi)
               if (!it.exhausted && it.docID == pivotDoc)
-                bub += present(bi).idf * it.blockMaxQ
+                bub += present(bi).boost * (present(bi).idf * it.blockMaxQ)
               bi += 1
             }
             if ((heap.size >= k && pad(bub) < threshold) ||
@@ -756,7 +764,8 @@ object QueryEngine {
                 val it = iters(s)
                 if (!it.exhausted && it.docID == pivotDoc) {
                   val tfv = it.tf.toDouble
-                  score += present(s).idf * (tfv * 2.2) / (tfv + norm)
+                  score += present(s).boost *
+                    (present(s).idf * (tfv * 2.2) / (tfv + norm))
                 } else score += 0.0
                 s += 1
               }
@@ -1694,21 +1703,23 @@ final class QueryEngine(
       else topKFuzzy(p.fuzzies.head, k, rounded)
     } else if (p.phrases.isEmpty) {
       if (facet == null)
-        topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg)
+        topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg,
+          boosts = p.boosts)
       else
         topKImpl(p.pos.mkString(" "), k, rounded, orMode, negTerms = p.neg,
           gateBc = facet.gateBc, gateNegate = facet.negate,
-          postFilter = facet.postFilter)
+          postFilter = facet.postFilter, boosts = p.boosts)
     } else {
       require(!orMode, "quoted phrases imply AND semantics (orMode unsupported)")
       if (facet == null)
         topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
-          negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray)
+          negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray,
+          boosts = p.boosts)
       else
         topKImpl(p.pos.mkString(" "), k, rounded, orMode = false,
           negTerms = p.neg, phraseSeqs = p.phrases.map(_.toArray).toArray,
           gateBc = facet.gateBc, gateNegate = facet.negate,
-          postFilter = facet.postFilter)
+          postFilter = facet.postFilter, boosts = p.boosts)
     }
   }
 
@@ -1726,6 +1737,13 @@ final class QueryEngine(
                      k: Int = Bm25.K): DataFrame =
     contractFrame(Bm25.FieldQuerySet.map { case (qid, q) =>
       qid -> search(q, k, rounded = true, fieldFacet = fieldFacet)
+    })
+
+  /** Driver-contract frame over the fixed boosted search-box set
+    * ([[Bm25.BoostQuerySet]] — `term^w` weighted queries). */
+  def searchBoostedAll(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.BoostQuerySet.map { case (qid, q) =>
+      qid -> search(q, k, rounded = true)
     })
 
   private def topKImpl(qtext: String, k: Int, rounded: Boolean,
@@ -1758,7 +1776,11 @@ final class QueryEngine(
                        // ALL must match; every gate term must appear in
                        // qtext (the scoring term set). Overrides the
                        // phraseMode/windowW-derived gate.
-                       phraseSeqs: Array[Array[String]] = null): DataFrame = {
+                       phraseSeqs: Array[Array[String]] = null,
+                       // per-term query-time weights (`term^w`); absent
+                       // terms weigh 1.0 — bit-exact with the unboosted
+                       // path (outer multiply, see [[TermCtx]])
+                       boosts: Map[String, Double] = Map.empty): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
@@ -1790,7 +1812,8 @@ final class QueryEngine(
     val n = stats.n
     val avgdl = stats.avgdl
     val termCtx = combinedDf.toSeq
-      .map { case (t, df) => TermCtx(t, df, Bm25.idf(n, df)) }
+      .map { case (t, df) =>
+        TermCtx(t, df, Bm25.idf(n, df), boosts.getOrElse(t, 1.0)) }
       .sortBy(_.term).toArray
     // shard the docID space ∝ posting volume (~100k postings per task,
     // capped at numRanges): a rare-term query runs in one task with no

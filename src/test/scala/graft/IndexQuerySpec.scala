@@ -547,6 +547,35 @@ class IndexQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("search: term^w boosts — parser, engine == brute boosted oracle, guards") {
+    import graft.functions.Analyzer.parseSearch
+    val p = parseSearch("""scan^2 "table hash" window^0.5""")
+    assert(p.boosts == Map("scan" -> 2.0, "window" -> 0.5))
+    assert(p.pos == Seq("hash", "scan", "table", "window"))
+    assert(p.phrases == Seq(Seq("table", "hash")))
+    // guards: boost composes with nothing that cannot score
+    intercept[IllegalArgumentException] { parseSearch("-scan^2 window") }
+    intercept[IllegalArgumentException] { parseSearch("lang:en^2 window") }
+    intercept[IllegalArgumentException] { parseSearch("scan*^2") }
+    intercept[IllegalArgumentException] { parseSearch("scan^0 window") }
+    intercept[IllegalArgumentException] { parseSearch("scan^2 scan^3") }
+    intercept[IllegalArgumentException] { parseSearch("\"table hash\"^2") }
+    // engine vs brute over the whole fixed boosted set
+    val oracle = Bm25.oracleBoostedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = posEngine.searchBoostedAll().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    val byQid = indexed.groupBy(_.head)
+    assert(!byQid.contains("w06"), "AND with an absent term must stay empty")
+    // the boost is live: w01's scores differ from the unboosted twin's
+    val boosted = posEngine.search("scan^2 window", rounded = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val plain = posEngine.search("scan window", rounded = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val common = boosted.keySet intersect plain.keySet
+    assert(common.nonEmpty && common.forall(d => boosted(d) > plain(d)),
+      "an up-boosted term must strictly raise every surviving doc's score")
+  }
+
   test("prefix: rank-identity vs exact prefix oracle (every prefix query)") {
     built
     for ((qid, prefix) <- Bm25.PrefixQuerySet) {
