@@ -297,6 +297,13 @@ object SparkEntry {
       new QueryEngine(s, Seq(indexDir)).suggestAll()
     }),
 
+    // -- did-you-mean: max-df Levenshtein-1 spell suggestion per term
+    "did_you_mean" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).didYouMeanAll()
+    }),
+
     // -- more-like-this: top-k similar docs via top-tfidf expansion
     "more_like_this" -> ((s, dir) => {
       val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -446,6 +453,7 @@ object SparkEntry {
     // fusion — the whole pipeline re-derived relationally
     "hybrid_rrf" -> Hybrid.hybridTopKSql(),
     "suggest_terms" -> Bm25.suggestSql(),
+    "did_you_mean" -> Bm25.didYouMeanSql(),
     "more_like_this" -> Bm25.oracleSqlMoreLikeThis(),
     "index_stats" -> Bm25.indexStatsSql(),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(

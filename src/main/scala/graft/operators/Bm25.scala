@@ -1162,6 +1162,46 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perPrefix\n) ORDER BY query, rank"
   }
 
+  /** Fixed did-you-mean query set: two misspellings, exact+misspelled,
+    * no candidate within distance 1 (∅ → empty suggestion), two more
+    * misspellings, and a present high-df term (competes at distance 0,
+    * may still lose to a higher-df neighbor — df is the signal). */
+  val DidYouMeanQuerySet: Seq[(String, String)] = Seq(
+    ("d01", "hsh sow"),
+    ("d02", "query batc"),
+    ("d03", "zzzz"),
+    ("d04", "pert dat"),
+    ("d05", "the"),
+  )
+
+  /** DuckDB twin of `QueryEngine.didYouMeanAll`: per input term, the
+    * max-df dictionary term within Levenshtein distance 1 (ties term
+    * asc), '' / 0 when none — `levenshtein` is a DuckDB built-in with
+    * unit-cost edits, same metric as the engine's expansion. */
+  def didYouMeanSql(maxDist: Int = 1): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tfd AS (
+         |  SELECT DISTINCT docID, term FROM tok
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY term
+         |)""".stripMargin
+    val perTerm = DidYouMeanQuerySet.flatMap { case (qid, q) =>
+      graft.functions.Analyzer.queryTerms(q).map { t =>
+        s"""(SELECT '$qid' AS query, '$t' AS term,
+           |        coalesce(s.term, '') AS suggestion,
+           |        CAST(coalesce(s.df, 0) AS BIGINT) AS sugg_df
+           | FROM (SELECT 1) one LEFT JOIN (
+           |   SELECT term, df FROM dfr WHERE levenshtein(term, '$t') <= $maxDist
+           |   ORDER BY df DESC, term ASC LIMIT 1) s ON TRUE)""".stripMargin
+      }
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perTerm\n) ORDER BY query, term"
+  }
+
   /** DuckDB twin of `QueryEngine.indexStats`: every index-metadata value
     * re-derived from the raw corpus. */
   def indexStatsSql(): String =

@@ -1356,6 +1356,38 @@ final class QueryEngine(
     }.toDF("query", "rank", "term", "df")
       .orderBy(col("query"), col("rank"))
 
+  /** Spell suggestion ("did you mean"): per analyzer token of `qtext`,
+    * the dictionary term within Levenshtein distance `maxDist` with the
+    * highest document frequency (ties → term asc) — the classic
+    * df-weighted direct spell checker. A term present in the dictionary
+    * competes at distance 0 and loses to a strictly higher-df neighbor
+    * (common misspellings ARE in real dictionaries; df is the signal).
+    * No candidate in range → ("", 0). Dictionary metadata only — rides
+    * [[expandFuzzy]]'s pinned-dict sweep / scan fallback, no posting
+    * touched, no job on the pinned path. */
+  def didYouMean(qtext: String, maxDist: Int = 1,
+                 cap: Int = 4096): Seq[(String, String, Long)] =
+    Analyzer.queryTerms(qtext).map { t =>
+      val cands = expandFuzzy(t, maxDist, cap)
+      if (cands.isEmpty) (t, "", 0L)
+      else {
+        val dfs = lookupPerDir(cands).flatten.groupBy(_.term)
+          .map { case (c, es) => c -> es.map(_.df).sum }
+        val (best, d) = cands.map(c => (c, dfs.getOrElse(c, 0L)))
+          .minBy { case (c, d) => (-d, c) }
+        (t, best, d)
+      }
+    }
+
+  /** Driver-contract frame over the fixed did-you-mean query set
+    * ([[Bm25.DidYouMeanQuerySet]]): (query, term, suggestion, sugg_df),
+    * one row per input term, ordered (query, term). */
+  def didYouMeanAll(): DataFrame =
+    Bm25.DidYouMeanQuerySet.flatMap { case (qid, q) =>
+      didYouMean(q).map { case (t, s, d) => (qid, t, s, d) }
+    }.toDF("query", "term", "suggestion", "sugg_df")
+      .orderBy(col("query"), col("term"))
+
   /** More-like-this: the top-k docs most similar to `srcDoc`, by BM25
     * over the source doc's top-`t` tf·idf terms (the classic Lucene MLT
     * recipe). Term selection reads the source doc's rows from the

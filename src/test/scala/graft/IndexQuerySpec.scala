@@ -755,6 +755,33 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(indexed == oracle)
   }
 
+  test("did-you-mean: engine == corpus-derived brute twin over the fixed set") {
+    built
+    // brute twin: max-df dictionary term within distance 1, ties term asc
+    val dfr = Bm25.docFreq(Bm25.termFreq(Corpus.docs(spark, sfDir)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def brute(t: String): (String, Long) = {
+      val cands = dfr.filter(c => QueryEngine.editDistance(c._1, t) <= 1)
+      if (cands.isEmpty) ("", 0L)
+      else cands.minBy { case (c, d) => (-d, c) }
+    }
+    val expected = Bm25.DidYouMeanQuerySet.flatMap { case (qid, q) =>
+      graft.functions.Analyzer.queryTerms(q).map { t =>
+        val (s, d) = brute(t); (qid, t, s, d)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = engine.didYouMeanAll().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the ∅-candidate case must be exercised by the fixed set
+    assert(got.exists { case (_, t, s, d) => t == "zzzz" && s == "" && d == 0L })
+    // every non-empty suggestion is a real distance-≤1 dictionary term
+    got.filter(_._3.nonEmpty).foreach { case (_, t, s, d) =>
+      assert(QueryEngine.editDistance(t, s) <= 1)
+      assert(dfr.exists(c => c._1 == s && c._2 == d))
+    }
+  }
+
   test("fuzzy/prefix expansions: in-memory sweep == dictionary-scan fallback") {
     built
     // VERDICT r3 #4 lesson: fallback branches need their own gate. Force
