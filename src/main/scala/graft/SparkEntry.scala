@@ -297,6 +297,14 @@ object SparkEntry {
       new QueryEngine(s, Seq(indexDir)).suggestAll()
     }),
 
+    // -- score explanation: per-term (tf, df, contrib) breakdown of the
+    //    top-k, cross-gated against corpus-derived ingredients
+    "explain_scores" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).explainScoresAll()
+    }),
+
     // -- did-you-mean: max-df Levenshtein-1 spell suggestion per term
     "did_you_mean" -> ((s, dir) => {
       val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -454,6 +462,7 @@ object SparkEntry {
     "hybrid_rrf" -> Hybrid.hybridTopKSql(),
     "suggest_terms" -> Bm25.suggestSql(),
     "did_you_mean" -> Bm25.didYouMeanSql(),
+    "explain_scores" -> Bm25.explainSql(),
     "more_like_this" -> Bm25.oracleSqlMoreLikeThis(),
     "index_stats" -> Bm25.indexStatsSql(),
     "bm25_topk_deleted" -> Bm25.oracleSqlTopK(

@@ -1162,6 +1162,58 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perPrefix\n) ORDER BY query, rank"
   }
 
+  /** DuckDB twin of `QueryEngine.explainScoresAll`: the AND twin's
+    * ranked top-k joined back to the per-(doc, term) scored rows, so
+    * every (tf, df, contrib) ingredient is re-derived from the raw
+    * corpus and cross-gates the engine's index-side point read. */
+  def explainSql(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term, tf.tf, dfr.df,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = graft.functions.Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, CAST(r.rank AS INTEGER) AS rank, r.docID,
+         |        s.term, s.tf, s.df, round(s.contrib, 4) AS contrib
+         | FROM (
+         |   SELECT docID,
+         |          row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |   FROM (
+         |     SELECT docID, $cs
+         |     FROM scored WHERE term IN ($inList)
+         |     GROUP BY docID
+         |     HAVING count(*) = ${terms.size}
+         |   )
+         | ) r JOIN scored s USING (docID)
+         | WHERE r.rank <= $k AND s.term IN ($inList))""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank, term"
+  }
+
   /** Fixed did-you-mean query set: two misspellings, exact+misspelled,
     * no candidate within distance 1 (∅ → empty suggestion), two more
     * misspellings, and a present high-df term (competes at distance 0,

@@ -1388,6 +1388,55 @@ final class QueryEngine(
     }.toDF("query", "term", "suggestion", "sugg_df")
       .orderBy(col("query"), col("term"))
 
+  /** Score explanation (the relevance-debugging surface): for each of
+    * the query's top-k docs, one row per query term with the raw
+    * ingredients — tf, df and the term's BM25 contribution — exactly as
+    * the kernel combined them. Rank comes from the ordinary [[topK]]
+    * (rounded) ranking; the per-term breakdown re-derives from a
+    * docID-pushdown point read of the index's stage-1 tf table (k docs,
+    * never a corpus scan — [[moreLikeThis]]'s read shape), with doc
+    * length recovered as Σtf over the doc's rows (the build's own
+    * definition of len). */
+  def explainScores(qtext: String, k: Int = Bm25.K): DataFrame = {
+    val empty = Seq.empty[(Int, Long, String, Long, Long, Double)]
+      .toDF("rank", "docID", "term", "tf", "df", "contrib")
+    val terms = Analyzer.queryTerms(qtext)
+    val top = topK(qtext, k, rounded = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    if (top.isEmpty) return empty
+    val ids = top.map(_._1)
+    val tfRows = indexDirs.map(d =>
+        spark.read.parquet(s"$d/tf").filter(col("docID").isin(ids: _*)))
+      .reduce(_ unionAll _)
+      .collect()
+      .map(r => (r.getAs[Long]("docID"), r.getAs[String]("term"), r.getAs[Long]("tf")))
+    val lens = tfRows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val tfOf = tfRows.map { case (d, t, f) => (d, t) -> f }.toMap
+    val dfs = lookupPerDir(terms).flatten.groupBy(_.term)
+      .map { case (t, es) => t -> es.map(_.df).sum }
+    val n = stats.n
+    val avgdl = stats.avgdl
+    top.zipWithIndex.toSeq.flatMap { case ((docID, _), i) =>
+      terms.map { t =>
+        val tf = tfOf((docID, t)) // AND semantics: every term present
+        val df = dfs(t)
+        (i + 1, docID, t, tf, df,
+          QueryEngine.r4(Bm25.contrib(Bm25.idf(n, df), tf, lens(docID), avgdl)))
+      }
+    }.toDF("rank", "docID", "term", "tf", "df", "contrib")
+      .orderBy(col("rank"), col("term"))
+  }
+
+  /** Driver-contract frame over the fixed AND query set
+    * ([[Bm25.QuerySet]]): (query, rank, docID, term, tf, df, contrib) —
+    * the per-term breakdown of every top-k hit. Absent-term q05
+    * contributes no rows. */
+  def explainScoresAll(k: Int = Bm25.K): DataFrame =
+    Bm25.QuerySet.map { case (qid, q) =>
+      explainScores(q, k).select(lit(qid).as("query"), col("rank"),
+        col("docID"), col("term"), col("tf"), col("df"), col("contrib"))
+    }.reduce(_ unionAll _).orderBy(col("query"), col("rank"), col("term"))
+
   /** More-like-this: the top-k docs most similar to `srcDoc`, by BM25
     * over the source doc's top-`t` tf·idf terms (the classic Lucene MLT
     * recipe). Term selection reads the source doc's rows from the

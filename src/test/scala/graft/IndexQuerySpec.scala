@@ -755,6 +755,33 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(indexed == oracle)
   }
 
+  test("explain: per-term breakdown consistent with topK ranking and scores") {
+    built
+    for ((qid, q) <- Bm25.QuerySet) {
+      val top = engine.topK(q, rounded = true).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val rows = engine.explainScores(q).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+      val terms = graft.functions.Analyzer.queryTerms(q)
+      if (top.isEmpty) assert(rows.isEmpty, s"$qid: breakdown of an empty result")
+      else {
+        // one row per (rank, term); rank→docID matches the ranking exactly
+        assert(rows.length == top.length * terms.size, s"$qid row count")
+        val byRank = rows.groupBy(_._1)
+        top.zipWithIndex.foreach { case ((docID, score), i) =>
+          val rs = byRank(i + 1)
+          assert(rs.forall(_._2 == docID), s"$qid rank ${i + 1} docID mismatch")
+          assert(rs.map(_._3).sorted.toSeq == terms, s"$qid rank ${i + 1} terms")
+          // rounded per-term contribs re-sum to the rounded score within
+          // per-row rounding slack
+          val sum = rs.map(_._4).sum
+          assert(math.abs(sum - score) <= 0.0001 * terms.size + 1e-9,
+            s"$qid rank ${i + 1}: contribs $sum vs score $score")
+        }
+      }
+    }
+  }
+
   test("did-you-mean: engine == corpus-derived brute twin over the fixed set") {
     built
     // brute twin: max-df dictionary term within distance 1, ties term asc
