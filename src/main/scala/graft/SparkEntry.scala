@@ -283,6 +283,18 @@ object SparkEntry {
     "search_boosted_oracle" -> ((s, dir) => Bm25.oracleBoostedTopK(s, dir)),
     "search_boosted" -> ((s, dir) => indexedSearchBoostedTopK(s, dir)),
 
+    // -- grouped (field-collapsing) retrieval: top-n per lang in one
+    //    per-group-heap kernel pass (corpus-global stats)
+    "search_grouped_oracle" -> ((s, dir) => Bm25.oracleGroupedTopK(s, dir)),
+    "search_grouped" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      val eng = new QueryEngine(s, Seq(indexDir))
+      val groups = eng.prepareGroups(
+        Corpus.docs(s, dir).select(col("docID"), col("lang").as("grp")))
+      eng.searchGroupedAll(groups)
+    }),
+
     // -- query-focused snippets over the top-k result docs
     "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
 
@@ -485,6 +497,8 @@ object SparkEntry {
     "search_field" -> Bm25.oracleSqlFieldTopK(),
     "search_boosted_oracle" -> Bm25.oracleSqlBoostedTopK(),
     "search_boosted" -> Bm25.oracleSqlBoostedTopK(),
+    "search_grouped_oracle" -> Bm25.oracleSqlGroupedTopK(),
+    "search_grouped" -> Bm25.oracleSqlGroupedTopK(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),

@@ -158,6 +158,16 @@ object Bm25 {
     "w06" -> "scan^2.5 zzzzunknown",
   )
 
+  /** Fixed grouped (field-collapsing) query set: single term, two-term
+    * AND, stop word (every group matches), absent term (∅), boosted. */
+  val GroupedQuerySet: Seq[(String, String)] = Seq(
+    "c01" -> "window",
+    "c02" -> "hash join",
+    "c03" -> "the",
+    "c04" -> "zzzzunknown",
+    "c05" -> "scan^2 table",
+  )
+
   /** Fixed field-faceted search-box query set (FIXTURES.md §23): the
     * mixed grammar plus one `lang:value` facet piece per query —
     * term+phrase+facet, term+NOT+facet, lone-phrase+facet, absent facet
@@ -649,6 +659,54 @@ object Bm25 {
     perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }
 
+  /** Brute-force grouped (field-collapsing) BM25 top-n per lang over
+    * [[GroupedQuerySet]]: the AND pivot with `term^w` weights, ranked by
+    * row_number over (partition by lang, round4(score) desc, docID asc)
+    * — the declarative twin of the per-group-heap kernel. */
+  def oracleGroupedTopK(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+    val langOf = docs.select(col("docID"), col("lang").as("grp"))
+
+    val perQuery = GroupedQuerySet.map { case (qid, qtext) =>
+      val p = Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      val pivoted = scored.filter(col("term").isin(terms: _*))
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val allPresent = terms.map(t => col(t).isNotNull).reduce(_ && _)
+      val score = terms.map { t =>
+        p.boosts.get(t) match {
+          case Some(w) => col(t) * lit(w)
+          case None    => col(t)
+        }
+      }.reduce(_ + _)
+      pivoted
+        .filter(allPresent)
+        .withColumn("score", round(score, 4))
+        .join(langOf, "docID")
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("grp"))
+            .orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= n)
+        .select(lit(qid).as("query"), col("grp"), col("rank"),
+          col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _)
+      .orderBy(col("query"), col("grp"), col("rank"))
+  }
+
   /** Column predicate: do all `terms` co-occur within some window of `w`
     * consecutive tokens? Pure built-ins — exists over every 1-based start
     * position, slice clamps at the array end. `greatest(..., 1)` guards
@@ -1060,6 +1118,60 @@ object Bm25 {
     * `searchBoostedAll`): each pivoted term contribution multiplied by
     * its `term^w` weight before the fixed-order sum. */
   def oracleSqlBoostedTopK(k: Int = K): String = searchBoxSql(BoostQuerySet, k)
+
+  /** DuckDB twin of [[oracleGroupedTopK]] (and of the engine's
+    * `searchGroupedAll`): rank partitioned by the doc's lang. */
+  def oracleSqlGroupedTopK(n: Int = 3): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = GroupedQuerySet.map { case (qid, qtext) =>
+      val p = graft.functions.Analyzer.parseSearch(qtext)
+      val terms = p.pos
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.zipWithIndex.map { case (t, i) =>
+        p.boosts.get(t) match {
+          case Some(w) => s"(c$i * $w)"
+          case None    => s"c$i"
+        }
+      }.mkString(" + ")
+      s"""(SELECT '$qid' AS query, grp, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT d.lang AS grp, s.docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY round($scoreExpr, 4) DESC, s.docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)
+         |    GROUP BY docID
+         |    HAVING count(*) = ${terms.size}
+         |  ) s JOIN documents d ON d.doc_id = s.docID
+         |) WHERE rank <= $n)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, grp, rank"
+  }
 
   private def searchBoxSql(querySet: Seq[(String, String)], k: Int): String = {
     val base =

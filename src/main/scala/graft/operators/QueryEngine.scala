@@ -345,6 +345,157 @@ object QueryEngine {
     }
   }
 
+  /** Group-membership cursor over a (sorted docID, parallel group index)
+    * mapping for ONE kernel invocation: probes at NON-DECREASING docIDs
+    * (the [[monotoneGate]] contract), galloping forward; returns the
+    * docID's group index, or -1 when unmapped. Stateful — construct
+    * fresh per invocation, never share across ranges or threads. */
+  def monotoneGroupCursor(ids: Array[Long], groups: Array[Int]): Long => Int = {
+    var i = 0
+    id => {
+      if (i < ids.length && ids(i) < id) {
+        var bound = 1
+        while (i + bound < ids.length && ids(i + bound) < id) bound <<= 1
+        var lo = i + (bound >> 1)
+        var hi = math.min(i + bound, ids.length)
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ids(mid) < id) lo = mid + 1 else hi = mid
+        }
+        i = lo
+      }
+      if (i < ids.length && ids(i) == id) groups(i) else -1
+    }
+  }
+
+  /** Grouped (field-collapsing) conjunctive top-n over one docID range:
+    * ONE postings pass maintaining an independent top-`n` heap PER GROUP
+    * — the one-pass collector a search service uses for "top n per
+    * lang". Alignment sweep and scoring are exactly
+    * [[conjunctiveRange]]'s (boosts ride [[TermCtx]] unchanged); the
+    * block-max prune compares against the MINIMUM threshold across
+    * groups (−∞ until every group's heap is full), the only admissible
+    * bound when the block's docs may belong to any group — grouped
+    * pruning is inherently weaker than single-heap pruning, the honest
+    * cost of the semantics. Candidates unmapped by the cursor (-1) are
+    * skipped before scoring. Returns (groupIdx, doc, EXACT score). */
+  def groupedRange(
+      segsByTerm: Map[String, Array[PostingSegment]],
+      termsSorted: Array[TermCtx],
+      lenOf: Long => Long,
+      avgdl: Double,
+      lo: Long, hi: Long, nPerGroup: Int,
+      rounded: Boolean,
+      groupOf: Long => Int,
+      nGroups: Int): Seq[(Int, ScoredDoc)] = {
+    val n = termsSorted.length
+    if (n == 0 || nGroups == 0 ||
+        termsSorted.exists(tc => !segsByTerm.contains(tc.term)))
+      return Nil
+    val iters = termsSorted.map(tc =>
+      new PostingListIterator(segsByTerm(tc.term), avgdl))
+    iters.foreach(_.advance(lo))
+    if (iters.exists(_.exhausted)) return Nil
+    val order = termsSorted.indices.sortBy(i => termsSorted(i).df).toArray
+
+    final case class Entry(key: Double, docID: Long, score: Double)
+    val worseFirst = Ordering.fromLessThan[Entry]((a, b) =>
+      a.key < b.key || (a.key == b.key && a.docID > b.docID))
+    val heaps = Array.fill(nGroups)(
+      new mutable.PriorityQueue[Entry]()(worseFirst.reverse))
+    def keyOf(score: Double): Double = if (rounded) r4(score) else score
+    def thresholdOf(g: Int): Double =
+      if (heaps(g).size < nPerGroup) Double.NegativeInfinity
+      else if (rounded) heaps(g).head.key - 0.00005
+      else heaps(g).head.key
+    // global prune threshold = min over groups; −∞ while any heap fills
+    var notFull = nGroups
+    var minTh = Double.NegativeInfinity
+    def recomputeMinTh(): Unit =
+      if (notFull == 0) {
+        var m = Double.PositiveInfinity
+        var g = 0
+        while (g < nGroups) {
+          val t = thresholdOf(g); if (t < m) m = t; g += 1
+        }
+        minTh = m
+      }
+
+    var candidate = iters(order(0)).docID
+    var running = !iters(order(0)).exhausted
+    while (running && candidate < hi) {
+      var matched = true
+      var oi = 1
+      var bump = candidate
+      while (matched && oi < n) {
+        val it = iters(order(oi))
+        it.advance(candidate)
+        if (it.exhausted) { running = false; matched = false }
+        else if (it.docID != candidate) { bump = it.docID; matched = false }
+        oi += 1
+      }
+      if (!running) ()
+      else if (!matched) {
+        iters(order(0)).advance(bump)
+        if (iters(order(0)).exhausted) running = false
+        else candidate = iters(order(0)).docID
+      } else {
+        var ub = 0.0
+        var minLast = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          ub += termsSorted(i).boost * (termsSorted(i).idf * iters(i).blockMaxQ)
+          if (iters(i).blockLastDoc < minLast) minLast = iters(i).blockLastDoc
+          i += 1
+        }
+        if (pad(ub) < minTh) {
+          val skipTo = math.max(candidate + 1, minLast + 1)
+          iters(order(0)).advance(skipTo)
+        } else {
+          val g = groupOf(candidate)
+          if (g >= 0) {
+            val len = lenOf(candidate)
+            val norm = 1.2 * (0.25 + 0.75 * len.toDouble / avgdl)
+            var score = 0.0
+            i = 0
+            while (i < n) {
+              val tfv = iters(i).tf.toDouble
+              score += termsSorted(i).boost *
+                (termsSorted(i).idf * (tfv * 2.2) / (tfv + norm))
+              i += 1
+            }
+            val key = keyOf(score)
+            val h = heaps(g)
+            if (h.size < nPerGroup) {
+              h.enqueue(Entry(key, candidate, score))
+              if (h.size == nPerGroup) { notFull -= 1; recomputeMinTh() }
+            } else {
+              val w = h.head
+              if (key > w.key || (key == w.key && candidate < w.docID)) {
+                h.dequeue(); h.enqueue(Entry(key, candidate, score))
+                recomputeMinTh()
+              }
+            }
+          }
+          iters(order(0)).advance(candidate + 1)
+        }
+        if (iters(order(0)).exhausted) running = false
+        else candidate = iters(order(0)).docID
+      }
+    }
+    val out = Seq.newBuilder[(Int, ScoredDoc)]
+    var g = 0
+    while (g < nGroups) {
+      val h = heaps(g)
+      while (h.nonEmpty) {
+        val e = h.dequeue()
+        out += ((g, ScoredDoc(e.docID, e.score)))
+      }
+      g += 1
+    }
+    out.result()
+  }
+
   /** Compose `base` (nullable) with anti-posting iterators over the
     * negated terms present in `segs` (absent terms exclude nothing).
     * Monotonic: callers must probe at non-decreasing docIDs. */
@@ -1099,6 +1250,107 @@ final class QueryEngine(
     java.util.Arrays.sort(take)
     new Facet(gateBroadcast(take), true, null)
   }
+
+  /** A resolved docID→group (collapse-key) mapping, reusable across
+    * queries — the grouped-retrieval analogue of [[Facet]]. Arrays are
+    * docID-sorted and parallel; `names` maps group index → value. */
+  final class Groups private[QueryEngine] (
+      private[QueryEngine] val ids: Array[Long],
+      private[QueryEngine] val groups: Array[Int],
+      val names: IndexedSeq[String])
+
+  /** Resolve a (docID, group) frame into a reusable [[Groups]] handle.
+    * The map must fit the gate broadcast cap — the same honesty budget
+    * as the facet tier; a corpus-sized collapse key should instead run
+    * one explicit [[topKFiltered]] per group over frames (the
+    * postFilter path scales, the driver map does not). A docID mapped
+    * to two groups rejects: a collapse key must be a function. */
+  def prepareGroups(grouped: DataFrame): Groups = {
+    val cap = filterBroadcastUpTo
+    val rows = grouped
+      .select(col("docID").cast("long").as("docID"), col("grp").cast("string").as("grp"))
+      .distinct().take(cap + 1)
+    require(rows.length <= cap,
+      s"group map exceeds the gate broadcast cap ($cap ids) — " +
+        "run one topKFiltered per group over frames instead")
+    val pairs = rows.map(r => (r.getLong(0), r.getString(1)))
+    require(pairs.map(_._1).distinct.length == pairs.length,
+      "collapse key must be a function: some docID maps to two groups")
+    val names = pairs.map(_._2).distinct.sorted.toIndexedSeq
+    val idx = names.zipWithIndex.toMap
+    val sorted = pairs.sortBy(_._1)
+    new Groups(sorted.map(_._1), sorted.map(p => idx(p._2)), names)
+  }
+
+  /** Grouped (field-collapsing) top-n: the best `n` docs PER GROUP of
+    * the collapse key, scored with corpus-global stats — "top 3 per
+    * lang" in one query. Driver-local path (postings resident): ONE
+    * kernel pass with per-group heaps ([[QueryEngine.groupedRange]]).
+    * Fallback: one faceted top-n per group through the ordinary gated
+    * kernel — identical output by construction (a group's top-n IS the
+    * faceted top-n for that group's docID set), asserted by the
+    * path-identity spec. Bare terms + `term^w` boosts only in this
+    * version (gates would compose the same way; reject > untested).
+    * Returns (grp, rank, docID, score) ordered (grp, rank). */
+  def searchGroupedTopK(qtext: String, groups: Groups, n: Int = 3,
+                        rounded: Boolean = true,
+                        forceComposition: Boolean = false): DataFrame = {
+    val p = Analyzer.parseSearch(qtext)
+    require(p.phrases.isEmpty && p.neg.isEmpty && p.fields.isEmpty &&
+      p.prefixes.isEmpty && p.fuzzies.isEmpty,
+      "grouped retrieval supports bare terms and term^w boosts only")
+    val terms = p.pos
+    val empty = Seq.empty[(String, Int, Long, Double)]
+      .toDF("grp", "rank", "docID", "score")
+    if (terms.isEmpty || groups.names.isEmpty) return empty
+    val perDir = lookupPerDir(terms)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (combinedDf.size < terms.size) return empty
+    val nS = stats.n
+    val avgdl = stats.avgdl
+    val termCtx = combinedDf.toSeq
+      .map { case (t, df) =>
+        TermCtx(t, df, Bm25.idf(nS, df), p.boosts.getOrElse(t, 1.0)) }
+      .sortBy(_.term).toArray
+    val totalDf = combinedDf.values.sum
+    val hits: Seq[(Int, ScoredDoc)] =
+      if (!forceComposition && normsBc.isDefined && localWandUpTo > 0 &&
+          totalDf <= localWandUpTo) {
+        val byTerm = synchronized { localSegsFor(termCtx.map(_.term).toSeq, perDir) }
+        val norms = normsBc.get.value
+        QueryEngine.groupedRange(byTerm, termCtx, norms.apply, avgdl,
+          0L, Long.MaxValue, n, rounded,
+          QueryEngine.monotoneGroupCursor(groups.ids, groups.groups),
+          groups.names.size)
+      } else {
+        groups.names.indices.flatMap { g =>
+          val gids = groups.ids.zip(groups.groups)
+            .collect { case (d, gg) if gg == g => d }
+          topKImpl(terms.mkString(" "), n, rounded, orMode = false,
+            gateBc = gateBroadcast(gids), boosts = p.boosts)
+            .collect().map(r => (g, ScoredDoc(r.getLong(0), r.getDouble(1)))).toSeq
+        }
+      }
+    hits
+      .map { case (g, h) =>
+        (g, h.docID, if (rounded) QueryEngine.r4(h.score) else h.score) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (g, hs) =>
+        hs.sortBy(h => (-h._3, h._2)).take(n).zipWithIndex
+          .map { case ((_, d, s), i) => (groups.names(g), i + 1, d, s) }
+      }
+      .sortBy(r => (r._1, r._2))
+      .toDF("grp", "rank", "docID", "score")
+  }
+
+  /** Driver-contract frame over the fixed grouped query set
+    * ([[Bm25.GroupedQuerySet]]): (query, grp, rank, docID, score). */
+  def searchGroupedAll(groups: Groups, n: Int = 3): DataFrame =
+    Bm25.GroupedQuerySet.map { case (qid, q) =>
+      searchGroupedTopK(q, groups, n).select(lit(qid).as("query"),
+        col("grp"), col("rank"), col("docID"), col("score"))
+    }.reduce(_ unionAll _).orderBy(col("query"), col("grp"), col("rank"))
 
   /** Filtered top-k: BM25 top-k restricted to `allowedDocs` (any frame
     * with a docID column — e.g. `Corpus.docs(...).filter(lang === "de")

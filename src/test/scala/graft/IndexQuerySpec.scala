@@ -755,6 +755,47 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(indexed == oracle)
   }
 
+  test("grouped: per-group-heap kernel == faceted composition == brute oracle") {
+    built
+    import spark.implicits._
+    val docs = Corpus.docs(spark, sfDir)
+    val groups = engine.prepareGroups(
+      docs.select(col("docID"), col("lang").as("grp")))
+    assert(groups.names.nonEmpty)
+    // engine (one-pass kernel path) vs brute Spark oracle, whole set
+    val oracle = Bm25.oracleGroupedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.searchGroupedAll(groups).collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    // path identity: the faceted-composition fallback produces the
+    // identical frame for every query of the set
+    for ((_, q) <- Bm25.GroupedQuerySet) {
+      val kernel = engine.searchGroupedTopK(q, groups).collect().map(_.toSeq).toSeq
+      val comp = engine.searchGroupedTopK(q, groups, forceComposition = true)
+        .collect().map(_.toSeq).toSeq
+      assert(kernel == comp, s"'$q': kernel/composition paths diverge")
+    }
+    // every group's rows are a prefix ranking 1..m with descending scores
+    val byQG = indexed.groupBy(r => (r(0), r(1)))
+    byQG.values.foreach { rs =>
+      val ranks = rs.map(_(2).asInstanceOf[Int])
+      assert(ranks.sorted == (1 to rs.size).toSeq)
+      val scores = rs.sortBy(_(2).asInstanceOf[Int]).map(_(4).asInstanceOf[Double])
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the absent-term query contributes nothing; the stop word hits
+    // more than one group (the collapse is real)
+    assert(!byQG.keySet.exists(_._1 == "c04"))
+    assert(byQG.keySet.count(_._1 == "c03") > 1)
+    // guards: non-plain pieces and non-functional collapse keys reject
+    intercept[IllegalArgumentException] {
+      engine.searchGroupedTopK("\"hash join\" scan", groups)
+    }
+    intercept[IllegalArgumentException] {
+      engine.prepareGroups(
+        Seq((1L, "a"), (1L, "b")).toDF("docID", "grp"))
+    }
+  }
+
   test("explain: per-term breakdown consistent with topK ranking and scores") {
     built
     for ((qid, q) <- Bm25.QuerySet) {
