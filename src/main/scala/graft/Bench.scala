@@ -281,7 +281,51 @@ object Bench {
       }.sorted
       def mpct(p: Double) = mlats(
         math.min(mlats.length - 1, math.ceil(p * mlats.length).toInt - 1).max(0))
-      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"search_p50_ms":${mpct(0.5)}%.3f,"search_p95_ms":${mpct(0.95)}%.3f,"""
+      // boosted search-box latency on the same positional engine: the
+      // weight is an outer multiply in the kernel, so this should track
+      // the plain mixed latency — the bench PROVES boosts cost nothing
+      Bm25.BoostQuerySet.foreach { case (_, q) =>
+        pengine.search(q, rounded = true).collect()
+      }
+      val blats = Bm25.BoostQuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          pengine.search(q, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def bpct(p: Double) = blats(
+        math.min(blats.length - 1, math.ceil(p * blats.length).toInt - 1).max(0))
+      f""""build_pos_sec":$posBuildSec%.3f,"phrase_p50_ms":${ppct(0.5)}%.3f,"phrase_p95_ms":${ppct(0.95)}%.3f,"window_p50_ms":${wpct(0.5)}%.3f,"window_p95_ms":${wpct(0.95)}%.3f,"search_p50_ms":${mpct(0.5)}%.3f,"search_p95_ms":${mpct(0.95)}%.3f,"boosted_p50_ms":${bpct(0.5)}%.3f,"""
+    }
+
+    // grouped (field-collapsing) latency (peak child only): top-3 per
+    // lang over the fixed grouped set — ONE per-group-heap kernel pass
+    // vs the faceted-composition fallback, measured side by side (the
+    // one-pass collector must beat G gated passes)
+    val groupedJson = if (!phrase) "" else {
+      val groups = engine.prepareGroups(
+        spark.read.parquet(s"$corpusDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("docID"),
+            col("lang").as("grp")))
+      def med(force: Boolean): Seq[Double] = Bm25.GroupedQuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.searchGroupedTopK(q, groups, forceComposition = force).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      Bm25.GroupedQuerySet.foreach { case (_, q) =>
+        engine.searchGroupedTopK(q, groups).collect()
+        engine.searchGroupedTopK(q, groups, forceComposition = true).collect()
+      }
+      val klats = med(force = false)
+      val clats2 = med(force = true)
+      def gpct(l: Seq[Double], p: Double) = l(
+        math.min(l.length - 1, math.ceil(p * l.length).toInt - 1).max(0))
+      f""""grouped_p50_ms":${gpct(klats, 0.5)}%.3f,"grouped_comp_p50_ms":${gpct(clats2, 0.5)}%.3f,"""
     }
 
     // total-hits count latency (peak child only): the pooled/driver count
@@ -394,7 +438,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$countJson$prefixJson$annJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$annJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -549,6 +593,7 @@ object Bench {
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
         "count_p50_ms", "count_p95_ms",
+        "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
