@@ -1285,7 +1285,10 @@ final class QueryEngine(
   /** Grouped (field-collapsing) top-n: the best `n` docs PER GROUP of
     * the collapse key, scored with corpus-global stats — "top 3 per
     * lang" in one query. Driver-local path (postings resident): ONE
-    * kernel pass with per-group heaps ([[QueryEngine.groupedRange]]).
+    * kernel pass with per-group heaps ([[QueryEngine.groupedRange]]);
+    * above the serial threshold the same kernel runs sharded by docID
+    * range on the driver pool (per-group tops over disjoint ranges
+    * merge by concatenation), up to the pooled total-df ceiling.
     * Fallback: one faceted top-n per group through the ordinary gated
     * kernel — identical output by construction (a group's top-n IS the
     * faceted top-n for that group's docID set), asserted by the
@@ -1316,13 +1319,34 @@ final class QueryEngine(
     val totalDf = combinedDf.values.sum
     val hits: Seq[(Int, ScoredDoc)] =
       if (!forceComposition && normsBc.isDefined && localWandUpTo > 0 &&
-          totalDf <= localWandUpTo) {
+          totalDf <= math.max(localWandUpTo, localParallelCap)) {
         val byTerm = synchronized { localSegsFor(termCtx.map(_.term).toSeq, perDir) }
         val norms = normsBc.get.value
-        QueryEngine.groupedRange(byTerm, termCtx, norms.apply, avgdl,
-          0L, Long.MaxValue, n, rounded,
-          QueryEngine.monotoneGroupCursor(groups.ids, groups.groups),
-          groups.names.size)
+        val nG = groups.names.size
+        if (totalDf <= localWandUpTo)
+          QueryEngine.groupedRange(byTerm, termCtx, norms.apply, avgdl,
+            0L, Long.MaxValue, n, rounded,
+            QueryEngine.monotoneGroupCursor(groups.ids, groups.groups), nG)
+        else {
+          // pooled: shard the docID space exactly like the pooled WAND.
+          // Per-group top-n over disjoint ranges concatenates soundly
+          // (the global top-n per group is within the union of shard
+          // top-ns); the merge below takes it. Fresh group cursor per
+          // range — the galloping cursor is stateful.
+          val nr = math.max(1L, math.min(4L * localThreads,
+            math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+          val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+          (0 until nr).map { r =>
+            localPool.submit(
+              new java.util.concurrent.Callable[Seq[(Int, ScoredDoc)]] {
+                def call(): Seq[(Int, ScoredDoc)] =
+                  QueryEngine.groupedRange(byTerm, termCtx, norms.apply,
+                    avgdl, r * rsz, (r + 1L) * rsz, n, rounded,
+                    QueryEngine.monotoneGroupCursor(groups.ids, groups.groups),
+                    nG)
+              })
+          }.flatMap(_.get())
+        }
       } else {
         groups.names.indices.flatMap { g =>
           val gids = groups.ids.zip(groups.groups)

@@ -766,14 +766,24 @@ class IndexQuerySpec extends AnyFunSuite {
     val oracle = Bm25.oracleGroupedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
     val indexed = engine.searchGroupedAll(groups).collect().map(_.toSeq).toSeq
     assert(indexed == oracle)
-    // path identity: the faceted-composition fallback produces the
-    // identical frame for every query of the set
+    // path identity: the faceted-composition fallback AND the pooled
+    // sharded kernel produce the identical frame for every query of the
+    // set (pooled forced by a 1-posting serial threshold with an
+    // explicit pooled ceiling, as in the pooled-WAND spec)
+    val pooledG = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
+    val groupsP = pooledG.prepareGroups(
+      docs.select(col("docID"), col("lang").as("grp")))
     for ((_, q) <- Bm25.GroupedQuerySet) {
       val kernel = engine.searchGroupedTopK(q, groups).collect().map(_.toSeq).toSeq
       val comp = engine.searchGroupedTopK(q, groups, forceComposition = true)
         .collect().map(_.toSeq).toSeq
       assert(kernel == comp, s"'$q': kernel/composition paths diverge")
+      val pooled = pooledG.searchGroupedTopK(q, groupsP).collect().map(_.toSeq).toSeq
+      assert(pooled == kernel, s"'$q': pooled/serial grouped paths diverge")
     }
+    pooledG.close()
     // every group's rows are a prefix ranking 1..m with descending scores
     val byQG = indexed.groupBy(r => (r(0), r(1)))
     byQG.values.foreach { rs =>
