@@ -40,6 +40,13 @@ object Native {
   /** Codegen'd wraparound `a·x + b` hash mix (see [[MixHash]]). */
   def mixHash(c: Column, a: Long, b: Long): Column =
     ColumnShim.column(MixHash(ColumnShim.expression(c), a, b))
+
+  /** Codegen'd fused SQ8 cosine: cos(q, mn + code·step) without
+    * materializing the dequantized vector (see [[Sq8Cosine]]). */
+  def sq8Cosine(q: Column, code: Column,
+                mns: Array[Double], steps: Array[Double]): Column =
+    ColumnShim.column(Sq8Cosine(
+      ColumnShim.expression(q), ColumnShim.expression(code), mns, steps))
 }
 
 /** Wraparound-multiply hash mix `a·x + b (mod 2⁶⁴)` — the classic
@@ -272,4 +279,105 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_cosine"
+}
+
+/** Fused scalar-quantized cosine: `cos(q, d)` where
+  * `d_j = mn_j + code_j · step_j`, computed in ONE pass over the int
+  * codes without materializing the dequantized array. The composed
+  * formulation (`transform(code, (c,i) => element_at(mns,i+1) +
+  * c·element_at(steps,i+1))` then [[CosineSimilarity]]) allocates a
+  * dim-wide double array per corpus row and walks two literal arrays
+  * through element_at per element — in the SQ8 approximate scan that is
+  * THE inner loop over every (query, corpus) pair, so it gets the same
+  * tier-(b) treatment as [[CosineSimilarity]].
+  *
+  * Bit-compatibility contract: per element computes
+  * `d = mn[i] + (double) code[i] * step[i]` and accumulates dot/nq/nd in
+  * index order, finishing `dot / sqrt(nq) / sqrt(nd)` — operation-for-
+  * operation the dequant-HOF + [[CosineSimilarity]] composition, so
+  * swapping implementations cannot move a rounded-4-decimals result
+  * (asserted in PipelineOpsSpec). Null if either array is null, the
+  * lengths disagree with each other or the grid, or any element is null
+  * (the composed path yields null in each of those cases too). */
+case class Sq8Cosine(left: Expression, right: Expression,
+                     mns: Array[Double], steps: Array[Double])
+  extends BinaryExpression with Serializable {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _))
+      if mns.length == steps.length => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<int>) arguments and an " +
+        s"aligned grid, got ${left.dataType.catalogString}, " +
+        s"${right.dataType.catalogString}, grid ${mns.length}/${steps.length}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemMayBeNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val c = r.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    if (n != c.numElements() || n != mns.length) return null
+    var dot = 0.0
+    var nq = 0.0
+    var nd = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || c.isNullAt(i)) return null
+      val x = q.getDouble(i)
+      val d = mns(i) + c.getInt(i).toDouble * steps(i)
+      dot += x * d
+      nq += x * x
+      nd += d * d
+      i += 1
+    }
+    dot / math.sqrt(nq) / math.sqrt(nd)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnsRef = ctx.addReferenceObj("mns", mns, "double[]")
+    val stepsRef = ctx.addReferenceObj("steps", steps, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nq = ctx.freshName("nq")
+      val nd = ctx.freshName("nd")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val nullCheck =
+        if (elemMayBeNull(left) || elemMayBeNull(right))
+          s"if ($q.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $q.numElements();
+         |if ($n != $c.numElements() || $n != $mnsRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nq = 0.0; double $nd = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = $q.getDouble($i);
+         |    double $d = $mnsRef[$i] + (double) $c.getInt($i) * $stepsRef[$i];
+         |    $dot += $x * $d; $nq += $x * $x; $nd += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($nq) / java.lang.Math.sqrt($nd);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Cosine =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sq8_cosine"
 }

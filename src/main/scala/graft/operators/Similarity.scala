@@ -548,9 +548,13 @@ object Similarity {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     // same per-partition bounded-heap pre-reduction as rankContract: the
-    // approximate frame is corpus-sized, the window only ranks survivors
-    val approx = dv.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Native.cosine(col("qdv"), col("dv")), 4))
+    // approximate frame is corpus-sized, the window only ranks survivors.
+    // The fused Sq8Cosine kernel scores the int codes directly (dequant
+    // inline from the grid) — no dim-wide double array materialized per
+    // corpus row; bit-identical to dequant-HOF + cosine by construction.
+    val approx = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(Native.sq8Cosine(col("qdv"), col("code"), mns, steps), 4))
       .select(col("query_id"), col("vec_id"), col("cos"))
     val cand = topDPerQuery(approx, c)
       .withColumn("cr", row_number().over(cw))

@@ -235,6 +235,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(weird.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("fused Sq8Cosine bit-equal to dequant-HOF + cosine composition") {
+    import graft.functions.Native
+    val e = Corpus.embeddings(spark, dir)
+    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val dims = Similarity.sq8Dims(e, dim)
+    val mns = dims.map(_._2).toArray
+    val steps = dims.map(_._3).toArray
+    val codes = Similarity.sq8Codes(e, mns, steps)
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        Similarity.sq8Dequant(col("code"), mns, steps).as("qdv"))
+    val pairs = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        Native.sq8Cosine(col("qdv"), col("code"), mns, steps).as("fused"),
+        Native.cosine(col("qdv"),
+          Similarity.sq8Dequant(col("code"), mns, steps)).as("composed"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // same per-element dequant arithmetic + same accumulation order →
+    // exact equality, so swapping paths cannot move a rounded result
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // degenerate inputs agree with the composition: grid/array length
+    // mismatch → null, null element → null, null array → null
+    val weird = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS DOUBLE)), array(1, 2)),
+        |  (array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), array(1, CAST(NULL AS INT))),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(1, 2))
+        |AS t(qdv, code)""".stripMargin)
+      .select(Native.sq8Cosine(col("qdv"), col("code"),
+        Array(0.0, 0.0), Array(1.0, 1.0)).as("fused"))
+      .collect()
+    assert(weird.forall(_.isNullAt(0)))
+  }
+
   test("ann IVF top-k: shape correct, measured recall vs brute force") {
     val rows = Similarity.ivfTopK(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
