@@ -243,6 +243,15 @@ object SparkEntry {
     "bm25_topk_or_oracle" -> ((s, dir) => Bm25.oracleTopKOr(s, dir)),
     "bm25_topk_or_indexed" -> ((s, dir) => indexedTopK(s, dir, orMode = true)),
 
+    // -- minimum-should-match: OR scoring gated on >= m distinct
+    //    matched terms (Lucene minimum_should_match semantics)
+    "bm25_topk_msm_oracle" -> ((s, dir) => Bm25.oracleTopKMsm(s, dir)),
+    "bm25_topk_msm_indexed" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).topKAllMsm()
+    }),
+
     // -- boolean NOT (`-term`): exclusion via anti-posting iterators in
     //    the WAND gate; brute twin anti-joins before ranking
     "bm25_topk_not_oracle" -> ((s, dir) => Bm25.oracleTopKNot(s, dir)),
@@ -464,6 +473,8 @@ object SparkEntry {
     "bm25_topk_indexed" -> Bm25.oracleSqlTopK(),
     "bm25_topk_or_oracle" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
+    "bm25_topk_msm_oracle" -> Bm25.oracleSqlTopKMsm(),
+    "bm25_topk_msm_indexed" -> Bm25.oracleSqlTopKMsm(),
     "bm25_topk_not_oracle" -> Bm25.oracleSqlTopKNot(),
     "bm25_topk_not_indexed" -> Bm25.oracleSqlTopKNot(),
     // page 2 = global ranks k+1 .. 2k of the same brute ranking

@@ -125,6 +125,23 @@ object Bm25 {
     "n06" -> "the -table",
   )
 
+  /** Fixed minimum-should-match query set: (qid, qtext, m) — OR-scored
+    * docs qualifying only with ≥ m distinct matched terms (the Lucene
+    * `minimum_should_match` contract). Covers: 2-of-3 (three spreads),
+    * m=1 (≡ OR), m=|terms| (≡ AND ranks), an absent term inside a
+    * reachable 2-of-3, an unreachable floor (one present term, m=2 → ∅),
+    * and a stop-word-heavy 2-of-3. */
+  val MsmQuerySet: Seq[(String, String, Int)] = Seq(
+    ("m01", "table scan merge", 2),
+    ("m02", "hash join window", 2),
+    ("m03", "filter small value", 2),
+    ("m04", "spark query", 1),
+    ("m05", "hash join", 2),
+    ("m06", "batch zzzzunknown merge", 2),
+    ("m07", "zzzzunknown window", 2),
+    ("m08", "the table sort", 2),
+  )
+
   /** Fixed mixed search-box query set (FIXTURES.md §23): ONE raw string
     * combining bare terms, quoted phrases and `-negations` — the unified
     * front door's grammar (QueryEngine.search). Covers: term+phrase,
@@ -336,6 +353,49 @@ object Bm25 {
         .agg(first(col("contrib")))
       val score = terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
       pivoted
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Brute-force minimum-should-match top-k over [[MsmQuerySet]]: the
+    * OR-semantics pivot-and-sum of [[oracleTopKOr]] plus a distinct
+    * matched-term count floor — docs with fewer than m non-null term
+    * columns are dropped BEFORE ranking, so the top-k is exact (a
+    * post-filter of the OR top-k would lose qualifying docs ranked
+    * below the unfiltered k). */
+  def oracleTopKMsm(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = MsmQuerySet.map { case (qid, qtext, m) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val pivoted = scored
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("docID"))
+        .pivot("term", terms)
+        .agg(first(col("contrib")))
+      val score = terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
+      val matched = terms.map(t =>
+        when(col(t).isNotNull, 1).otherwise(0)).reduce(_ + _)
+      pivoted
+        .filter(matched >= m)
         .withColumn("score", round(score, 4))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
@@ -1427,6 +1487,55 @@ object Bm25 {
          |    SELECT docID, $cs
          |    FROM scored WHERE term IN ($inList)
          |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleTopKMsm]]: the OR-semantics per-query SQL
+    * plus `HAVING count(*) >= m` on the per-doc pivot — `scored` has
+    * exactly one row per (docID, matched term), so the group count IS
+    * the distinct matched-term count. */
+  def oracleSqlTopKMsm(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = MsmQuerySet.map { case (qid, qtext, m) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (t, i) =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN contrib END), 0.0) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID, $cs
+         |    FROM scored WHERE term IN ($inList)
+         |    GROUP BY docID
+         |    HAVING count(*) >= $m
          |  )
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")

@@ -244,13 +244,13 @@ object QueryEngine {
     * candidates. */
   def kernel(posGates: Array[Array[String]], windowW: Int, orMode: Boolean,
              gate: Long => Boolean,
-             afterKey: Double, afterDoc: Long):
+             afterKey: Double, afterDoc: Long, msm: Int):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if (orMode)
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
         disjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, gate,
-          afterKey, afterDoc)
+          afterKey, afterDoc, msm)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) =>
         conjunctiveRange(segs, ts, lenOf, av, lo, hi, k, rnd, posGates,
@@ -274,11 +274,16 @@ object QueryEngine {
     * break it; this factory makes that impossible by construction. */
   def kernel(posGates: Array[Array[String]], windowW: Int, orMode: Boolean,
              gateFactory: () => (Long => Boolean), negTerms: Array[String],
-             afterKey: Double = Double.NaN, afterDoc: Long = 0L):
+             afterKey: Double = Double.NaN, afterDoc: Long = 0L,
+             // minimum-should-match (OR mode only): a doc must match at
+             // least this many distinct query terms to be scored — the
+             // Lucene `minimum_should_match` contract. 1 = plain OR;
+             // n = AND-equivalent scores (absent terms contribute +0.0)
+             msm: Int = 1):
       (Map[String, Array[PostingSegment]], Array[TermCtx],
        Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
     if ((negTerms == null || negTerms.isEmpty) && gateFactory == null)
-      kernel(posGates, windowW, orMode, null, afterKey, afterDoc)
+      kernel(posGates, windowW, orMode, null, afterKey, afterDoc, msm)
     else
       (segs, ts, lenOf, av, lo, hi, k, rnd) => {
         // both gate shapes are STATEFUL cursors (monotone broadcast gate,
@@ -288,7 +293,7 @@ object QueryEngine {
         val g =
           if (negTerms == null || negTerms.isEmpty) base
           else negatedGate(base, negTerms, segs, av, lo)
-        kernel(posGates, windowW, orMode, g, afterKey, afterDoc)(
+        kernel(posGates, windowW, orMode, g, afterKey, afterDoc, msm)(
           segs, ts, lenOf, av, lo, hi, k, rnd)
       }
 
@@ -816,10 +821,18 @@ object QueryEngine {
       // search-after cursor — same contract as [[conjunctiveRange]]'s
       // (NaN = none; skip docs ranked at-or-before (afterKey, afterDoc))
       afterKey: Double = Double.NaN,
-      afterDoc: Long = 0L): Seq[ScoredDoc] = {
+      afterDoc: Long = 0L,
+      // minimum-should-match: score only docs matching ≥ msm distinct
+      // query terms. Gating happens at the aligned pivot, AFTER the
+      // pivot/block-max pruning decisions — msm matches ⊆ OR matches,
+      // so every pruning bound stays admissible (same argument as the
+      // phrase gate on the conjunctive side). msm = 1 is bit-identical
+      // to plain OR (any aligned pivot matches ≥ 1 term by definition).
+      msm: Int = 1): Seq[ScoredDoc] = {
     val present = termsSorted.filter(tc => segsByTerm.contains(tc.term))
     val n = present.length
-    if (n == 0) return Nil
+    // fewer present terms than the floor → no doc can reach msm matches
+    if (n == 0 || n < msm) return Nil
     val iters = present.map(tc => new PostingListIterator(segsByTerm(tc.term), avgdl))
     iters.foreach(_.advance(lo))
     // global admissible UB per term: idf × max block quotient anywhere
@@ -910,17 +923,19 @@ object QueryEngine {
               val len = lenOf(pivotDoc)
               val norm = 1.2 * (0.25 + 0.75 * len.toDouble / avgdl)
               var score = 0.0
+              var nMatched = 0
               var s = 0
               while (s < n) {
                 val it = iters(s)
                 if (!it.exhausted && it.docID == pivotDoc) {
+                  nMatched += 1
                   val tfv = it.tf.toDouble
                   score += present(s).boost *
                     (present(s).idf * (tfv * 2.2) / (tfv + norm))
                 } else score += 0.0
                 s += 1
               }
-              offer(pivotDoc, score)
+              if (nMatched >= msm) offer(pivotDoc, score)
               var m = 0
               while (m < n) {
                 val it = iters(m)
@@ -1919,6 +1934,28 @@ final class QueryEngine(
   def topKOr(qtext: String, k: Int = Bm25.K, rounded: Boolean = false): DataFrame =
     topKImpl(qtext, k, rounded, orMode = true)
 
+  /** Minimum-should-match retrieval — the Lucene `minimum_should_match`
+    * contract: disjunctive scoring over the terms a doc contains, but
+    * only docs matching at least `m` DISTINCT query terms qualify.
+    * m = 1 is plain OR; m = |terms| ranks exactly like AND (absent-term
+    * contributions are an exact +0.0). The floor gates candidates at
+    * the aligned pivot inside the disjunctive WAND kernel — msm matches
+    * ⊆ OR matches, so all pruning bounds stay admissible — and rides
+    * every physical path (driver-local, pooled, scan, range) unchanged. */
+  def topKMsm(qtext: String, m: Int, k: Int = Bm25.K,
+              rounded: Boolean = false): DataFrame = {
+    require(m >= 1, s"minimum-should-match must be >= 1, got $m")
+    topKImpl(qtext, k, rounded, orMode = true, msm = m)
+  }
+
+  /** Driver-contract frame over [[Bm25.MsmQuerySet]] (query, rank,
+    * docID, score) — column-identical to [[Bm25.oracleTopKMsm]] and its
+    * DuckDB SQL twin. */
+  def topKAllMsm(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.MsmQuerySet.map { case (qid, qtext, m) =>
+      qid -> topKImpl(qtext, k, rounded = true, orMode = true, msm = m)
+    })
+
   /** Search-after pagination: the k results ranked strictly AFTER the
     * cursor `(afterScore, afterDoc)` in (score desc, docID asc) order —
     * the deep-paging contract of a search service. The cursor is the
@@ -2137,7 +2174,11 @@ final class QueryEngine(
                        // per-term query-time weights (`term^w`); absent
                        // terms weigh 1.0 — bit-exact with the unboosted
                        // path (outer multiply, see [[TermCtx]])
-                       boosts: Map[String, Double] = Map.empty): DataFrame = {
+                       boosts: Map[String, Double] = Map.empty,
+                       // minimum-should-match floor (OR mode only):
+                       // docs matching fewer than msm distinct query
+                       // terms are not scored. 1 = plain OR
+                       msm: Int = 1): DataFrame = {
     val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
@@ -2165,6 +2206,9 @@ final class QueryEngine(
       perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
     if (!orMode && combinedDf.size < terms.size) return empty // AND: missing term → ∅
     if (combinedDf.isEmpty) return empty
+    // msm: fewer dictionary-present terms than the floor → ∅ (no doc
+    // can match msm distinct terms the corpus doesn't contain)
+    if (orMode && combinedDf.size < msm) return empty
 
     val n = stats.n
     val avgdl = stats.avgdl
@@ -2196,7 +2240,7 @@ final class QueryEngine(
     val wandFn: (Map[String, Array[PostingSegment]], Array[TermCtx],
       Long => Long, Double, Long, Long, Int, Boolean) => Seq[ScoredDoc] =
       QueryEngine.kernel(posGates, windowW, orMode, gateF, negPresent,
-        afterKey, afterDoc)
+        afterKey, afterDoc, msm)
 
     // ---- driver-local fast path -------------------------------------
     // All of the query's postings fit the driver cache and norms are

@@ -327,6 +327,49 @@ class IndexQuerySpec extends AnyFunSuite {
       collectTopK(engine.topK("window")))
   }
 
+  test("MSM: rounded driver-contract frame matches brute-force MSM oracle") {
+    built
+    val oracle = Bm25.oracleTopKMsm(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAllMsm().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("MSM: m=1 ≡ OR, m=|terms| ≡ AND, unreachable floor ∅, path identity") {
+    built
+    // m = 1 degenerates to plain OR (the aligned pivot always matches ≥ 1)
+    for (q <- Seq("hash join", "table scan merge", "spark query"))
+      assert(collectTopK(engine.topKMsm(q, 1)) == collectTopK(engine.topKOr(q)))
+    // m = |terms| scores exactly like AND: only all-term docs qualify and
+    // their disjunctive sum (absent +0.0) is the conjunctive sum verbatim
+    for (q <- Seq("hash join", "table scan merge")) {
+      val n = graft.functions.Analyzer.queryTerms(q).size
+      assert(collectTopK(engine.topKMsm(q, n)) == collectTopK(engine.topK(q)),
+        s"'$q' m=$n vs AND")
+    }
+    // floor above the dictionary-present term count → ∅
+    assert(engine.topKMsm("zzzzunknown window", 2).count() == 0)
+    // every returned doc really matches ≥ m distinct terms (vs raw tf)
+    import spark.implicits._
+    val tf = Bm25.termFreq(Corpus.docs(spark, sfDir))
+    val terms = graft.functions.Analyzer.queryTerms("table scan merge")
+    val matchedBy = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("docID")).count()
+      .filter(col("count") >= 2).select("docID").as[Long].collect().toSet
+    val got = collectTopK(engine.topKMsm("table scan merge", 2))
+    assert(got.nonEmpty && got.forall(h => matchedBy(h._1)))
+    // path identity: driver-local == pooled == range shuffle on all fixtures
+    val pooled = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
+    val range = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, qtext, m) <- Bm25.MsmQuerySet) {
+      val local = collectTopK(engine.topKMsm(qtext, m))
+      assert(collectTopK(pooled.topKMsm(qtext, m)) == local, s"$qid pooled")
+      assert(collectTopK(range.topKMsm(qtext, m)) == local, s"$qid range")
+    }
+  }
+
   private lazy val posEngine: QueryEngine = {
     val posDir = "target/test-index-pos-sf0001"
     new Directory(new java.io.File(posDir)).deleteRecursively()
