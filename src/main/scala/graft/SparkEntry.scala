@@ -261,6 +261,15 @@ object SparkEntry {
     //    kernel-level after-cursor gate
     "bm25_topk_page2" -> ((s, dir) => indexedTopKPage2(s, dir)),
 
+    // -- sort-by-field retrieval: AND matches ordered by the len
+    //    doc-values column (longest-first), relevance never computed
+    "search_sorted_oracle" -> ((s, dir) => Bm25.oracleSortedTopK(s, dir)),
+    "search_sorted" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).sortedAll()
+    }),
+
     // -- hybrid lexical+semantic retrieval fused by RRF
     "hybrid_rrf" -> ((s, dir) => indexedHybridTopK(s, dir)),
 
@@ -475,6 +484,8 @@ object SparkEntry {
     "bm25_topk_or_indexed" -> Bm25.oracleSqlTopKOr(),
     "bm25_topk_msm_oracle" -> Bm25.oracleSqlTopKMsm(),
     "bm25_topk_msm_indexed" -> Bm25.oracleSqlTopKMsm(),
+    "search_sorted_oracle" -> Bm25.oracleSqlSortedTopK(),
+    "search_sorted" -> Bm25.oracleSqlSortedTopK(),
     "bm25_topk_not_oracle" -> Bm25.oracleSqlTopKNot(),
     "bm25_topk_not_indexed" -> Bm25.oracleSqlTopKNot(),
     // page 2 = global ranks k+1 .. 2k of the same brute ranking

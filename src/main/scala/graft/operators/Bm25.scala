@@ -406,6 +406,60 @@ object Bm25 {
     perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
   }
 
+  /** Brute-force sort-by-field top-k over [[QuerySet]]: docs matching
+    * ALL query terms ordered by document length descending (docID
+    * ascending tie-break) — relevance is never computed. The twin of
+    * QueryEngine.topKSortedByLen / [[oracleSqlSortedTopK]]. */
+  def oracleSortedTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val matching = tf
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size)
+        .select(col("docID"))
+      matching.join(doclen, "docID")
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("len").desc, col("docID").asc))
+            .cast("int"))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("len"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** DuckDB twin of [[oracleSortedTopK]]: the AND match set (per-doc
+    * matched-term count = |terms|) joined to doc lengths, ranked
+    * (len DESC, docID ASC), top k per query. */
+  def oracleSqlSortedTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, len FROM (
+         |  SELECT dl.docID AS docID, dl.len AS len,
+         |         row_number() OVER (ORDER BY dl.len DESC, dl.docID ASC) AS rank
+         |  FROM dl JOIN (
+         |    SELECT docID FROM tf WHERE term IN ($inList)
+         |    GROUP BY docID HAVING count(*) = ${terms.size}
+         |  ) m USING (docID)
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
   /** Brute-force boolean-NOT top-k over [[NotQuerySet]]: AND-semantics
     * BM25 over each query's positive terms, docs containing ANY negated
     * term removed by an anti-join BEFORE ranking (so the top-k is exact

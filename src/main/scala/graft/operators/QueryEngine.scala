@@ -790,6 +790,74 @@ object QueryEngine {
     }
   }
 
+  /** Top-k matching docs in [lo, hi) ordered by a STATIC doc-values
+    * field instead of relevance — the search-service `sort:` parameter
+    * (newest-first, longest-first, …). Relevance is never computed:
+    * the sweep is [[countRange]]'s AND alignment (leader term first —
+    * scan-path callers pass the task-local driver term at index 0) and
+    * each match offers `(fieldOf(docID), docID)` to ONE bounded k-heap
+    * ordered (field desc, docID asc). Without an index sorted on the
+    * field there is no admissible early termination — a doc's field
+    * value is independent of its postings — so the honest cost is the
+    * full intersection sweep plus an O(log k) heap offer per match,
+    * exactly Lucene's sort-by-field plan on an unsorted index. Results
+    * from disjoint ranges merge by a global (field desc, docID asc)
+    * re-sort: per-range top-k is a correct candidate superset because
+    * the order key is per-doc. */
+  def sortedRange(segsByTerm: Map[String, Array[PostingSegment]],
+                  terms: Array[String], avgdl: Double,
+                  lo: Long, hi: Long, k: Int,
+                  fieldOf: Long => Long): Seq[(Long, Long)] = {
+    if (terms.isEmpty || terms.exists(t => !segsByTerm.contains(t)))
+      return Nil
+    val iters = terms.map(t => new PostingListIterator(segsByTerm(t), avgdl))
+    iters.foreach(_.advance(lo))
+    if (iters.exists(_.exhausted)) return Nil
+    final case class E(v: Long, docID: Long)
+    val worseFirst = Ordering.fromLessThan[E]((a, b) =>
+      a.v < b.v || (a.v == b.v && a.docID > b.docID))
+    val heap = new mutable.PriorityQueue[E]()(worseFirst.reverse)
+    def offer(d: Long): Unit = {
+      val v = fieldOf(d)
+      if (heap.size < k) heap.enqueue(E(v, d))
+      else {
+        val w = heap.head
+        if (v > w.v || (v == w.v && d < w.docID)) {
+          heap.dequeue(); heap.enqueue(E(v, d))
+        }
+      }
+    }
+    var candidate = iters(0).docID
+    var running = true
+    while (running && candidate < hi) {
+      var matched = true
+      var bump = candidate
+      var i = 1
+      while (matched && i < iters.length) {
+        val it = iters(i)
+        it.advance(candidate)
+        if (it.exhausted) { running = false; matched = false }
+        else if (it.docID != candidate) { bump = it.docID; matched = false }
+        i += 1
+      }
+      if (running) {
+        if (matched) {
+          offer(candidate)
+          iters(0).advance(candidate + 1)
+        }
+        else iters(0).advance(bump)
+        if (iters(0).exhausted) running = false
+        else candidate = iters(0).docID
+      }
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    while (heap.nonEmpty) {
+      val e = heap.dequeue()
+      out += ((e.docID, e.v))
+    }
+    out.result()
+  }
+
   /** Disjunctive (OR-semantics) WAND over one docID range [lo, hi):
     * score = Σ contributions of the query terms PRESENT in the doc,
     * accumulated in ascending term order with absent terms contributing
@@ -1921,6 +1989,152 @@ final class QueryEngine(
     Bm25.QuerySet.map { case (qid, q) =>
       (qid, countMatches(q), countMatches(q, orMode = true))
     }.toDF("query", "n_docs", "n_docs_or").orderBy(col("query"))
+
+  /** Sort-by-field retrieval — the search-service "sort by a doc-values
+    * column, not by relevance" mode: the k docs matching ALL query terms
+    * ordered by document LENGTH descending (docID ascending tie-break).
+    * `len` is the doc-values column the index already materializes as
+    * norms, so the field lookup rides the same resident/broadcast array
+    * relevance scoring uses; a deployment sorting by recency would wire
+    * its timestamp column through the identical shape. Physical paths
+    * mirror [[countMatches]]: driver-local / pooled when the postings
+    * are resident, the zero-shuffle broadcast scan otherwise, and the
+    * per-query segment shuffle (with cogrouped norms beyond the
+    * broadcast cap) as the 10^12-doc fallback ([[QueryEngine.sortedRange]]
+    * explains why no early termination exists without a field-sorted
+    * index). */
+  def topKSortedByLen(qtext: String, k: Int = Bm25.K): DataFrame = {
+    val empty = Seq.empty[(Long, Long)].toDF("docID", "len")
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return empty
+    val perDir = lookupPerDir(terms)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (combinedDf.size < terms.size) return empty // AND: missing term → ∅
+    val presentTerms = combinedDf.keys.toSeq.sorted
+    val driverTerm = combinedDf.maxBy(_._2)._1
+    val leaderFirst = (driverTerm +: presentTerms.filterNot(_ == driverTerm)).toArray
+    val totalDf = combinedDf.values.sum
+    val av = stats.avgdl
+    val kk = k
+
+    // driver-local / pooled fast path (postings + norms resident)
+    if (normsBc.isDefined && localWandUpTo > 0 &&
+        totalDf <= math.max(localWandUpTo, localParallelCap)) {
+      val byTerm = synchronized { localSegsFor(presentTerms, perDir) }
+      val norms = normsBc.get.value
+      val hits: Seq[(Long, Long)] =
+        if (totalDf <= localWandUpTo)
+          QueryEngine.sortedRange(byTerm, leaderFirst, av,
+            0L, Long.MaxValue, kk, norms.apply)
+        else {
+          val nr = math.max(1L, math.min(4L * localThreads,
+            math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+          val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+          (0 until nr).map { r =>
+            localPool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
+              def call(): Seq[(Long, Long)] =
+                QueryEngine.sortedRange(byTerm, leaderFirst, av,
+                  r * rsz, (r + 1L) * rsz, kk, norms.apply)
+            })
+          }.flatMap(_.get())
+        }
+      return hits.sortBy(h => (-h._2, h._1)).take(k).toDF("docID", "len")
+    }
+
+    val sideDfSum = combinedDf.filter(_._1 != driverTerm).values.sum
+    val lf = leaderFirst
+    val dt = driverTerm
+    val local: org.apache.spark.sql.Dataset[(Long, Long)] =
+    if (normsBc.isDefined && sideDfSum <= broadcastPostingsUpTo) {
+      // zero-shuffle scan path: driver-term segments scanned distributed,
+      // side terms broadcast; AND matches always contain the driver term,
+      // so per-task results partition cleanly across disjoint segments
+      val bc = normsBc.get
+      val para = spark.sparkContext.defaultParallelism
+      val sideBc = sideBroadcast(dt + "|" + presentTerms.mkString(",")) {
+        indexDirs.zip(perDir).flatMap { case (dir, es) =>
+          val se = es.filter(_.term != dt)
+          if (se.isEmpty) Nil
+          else segmentsOf(dir, se.map(_.term),
+            se.map(_.bucket).distinct).coalesce(para).collect().toSeq
+        }.groupBy(_.term).map { case (t, ss) => t -> ss.sortBy(_.minDoc).toArray }
+      }
+      val driverSegs = indexDirs.zip(perDir)
+        .filter(_._2.exists(_.term == dt))
+        .map { case (dir, es) =>
+          segmentsOf(dir, Seq(dt), es.filter(_.term == dt).map(_.bucket).distinct)
+        }
+        .reduce(_ union _)
+        .coalesce(para)
+      driverSegs.mapPartitions { it =>
+        val mySegs = it.toArray
+        if (mySegs.isEmpty) Iterator.empty
+        else {
+          val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
+          QueryEngine.sortedRange(byTerm, lf, av,
+            0L, Long.MaxValue, kk, bc.value.apply).iterator
+        }
+      }
+    } else {
+      // per-query segment shuffle; norms broadcast when available,
+      // cogrouped per docID range beyond the cap (the 10^12-doc shape)
+      val nr = math.max(1L, math.min(numRanges.toLong,
+        totalDf / 100_000L + 1)).toInt
+      val rs = math.max(1L, (stats.maxDoc + nr) / nr)
+      val segs = indexDirs.zip(perDir)
+        .filter(_._2.nonEmpty)
+        .map { case (dir, es) =>
+          segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
+        }
+        .reduce(_ union _)
+      val ranged = segs.flatMap { s =>
+        ((s.minDoc / rs).toInt to (s.maxDoc / rs).toInt)
+          .map(r => RangedSeg(r, s))
+      }
+      normsBc match {
+        case Some(bc) =>
+          ranged.groupByKey(_.rangeId).flatMapGroups { (rid, it) =>
+            val byTerm = it.map(_.seg).toArray.groupBy(_.term)
+              .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+            val lo = rid.toLong * rs
+            QueryEngine.sortedRange(byTerm, lf, av,
+              lo, lo + rs, kk, bc.value.apply).iterator
+          }
+        case None =>
+          val normsByRange = allDocStats
+            .groupByKey(d => (d.docID / rs).toInt)
+          ranged.groupByKey(_.rangeId).cogroup(normsByRange) { (rid, segIt, dsIt) =>
+            val byTerm = segIt.map(_.seg).toArray.groupBy(_.term)
+              .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+            if (byTerm.isEmpty) Iterator.empty
+            else {
+              val norms = dsIt.map(d => d.docID -> d.len).toMap
+              val lo = rid.toLong * rs
+              QueryEngine.sortedRange(byTerm, lf, av,
+                lo, lo + rs, kk, norms.apply).iterator
+            }
+          }
+      }
+    }
+    local.toDF("docID", "len")
+      .orderBy(col("len").desc, col("docID").asc)
+      .limit(k)
+  }
+
+  /** Driver-contract frame over the fixed query set: (query, rank,
+    * docID, len) — per query, the k matching docs longest-first.
+    * Column-identical to the DuckDB twin ([[Bm25.oracleSqlSortedTopK]]). */
+  def sortedAll(k: Int = Bm25.K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Bm25.QuerySet.map { case (qid, q) =>
+      topKSortedByLen(q, k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("len").desc, col("docID").asc))
+            .cast("int"))
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("len"))
+    }.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
 
   /** Top-k (docID, score) for a query string; AND semantics; empty
     * result if any term is absent (or the query has no terms). Score is

@@ -327,6 +327,42 @@ class IndexQuerySpec extends AnyFunSuite {
       collectTopK(engine.topK("window")))
   }
 
+  test("sorted: driver-contract frame matches brute oracle; path identity") {
+    built
+    // contract frame == brute-force construction (len desc, docID asc)
+    val oracle = Bm25.oracleSortedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.sortedAll().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    // result set = the AND match set's k longest docs (vs raw tf + lens)
+    import spark.implicits._
+    val tf = Bm25.termFreq(Corpus.docs(spark, sfDir))
+    val lens = Bm25.docLengths(tf).as[(Long, Long)].collect().toMap
+    val terms = graft.functions.Analyzer.queryTerms("hash join")
+    val expect = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("docID")).count().filter(col("count") === terms.size)
+      .select("docID").as[Long].collect()
+      .map(d => (d, lens(d))).sortBy(h => (-h._2, h._1)).take(10).toSeq
+    val got = engine.topKSortedByLen("hash join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // path identity: driver-local == pooled == scan == range shuffle
+    val pooled = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 1L, localWandThreads = 8,
+      localWandParallelUpTo = 1_000_000L)
+    val scan = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    val range = new QueryEngine(spark, Seq(indexDir),
+      broadcastPostingsUpTo = -1L, localWandUpTo = 0L)
+    for ((qid, qtext) <- Bm25.QuerySet) {
+      val local = engine.topKSortedByLen(qtext)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      for ((nm, eng2) <- Seq(("pooled", pooled), ("scan", scan), ("range", range))) {
+        val got2 = eng2.topKSortedByLen(qtext)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got2 == local, s"$qid $nm sorted path differs")
+      }
+    }
+  }
+
   test("MSM: rounded driver-contract frame matches brute-force MSM oracle") {
     built
     val oracle = Bm25.oracleTopKMsm(spark, sfDir).collect().map(_.toSeq).toSeq
