@@ -364,6 +364,35 @@ object Bench {
       f""""prefix_p50_ms":${xpct(0.5)}%.3f,"prefix_p95_ms":${xpct(0.95)}%.3f,"""
     }
 
+    // minimum-should-match + sort-by-field latency (peak child only):
+    // the msm floor rides the disjunctive kernel (expect ~OR parity);
+    // sort-by-field pays the full AND cursor walk but zero scoring
+    val msmJson = if (!phrase) "" else {
+      Bm25.MsmQuerySet.foreach { case (_, q, m) =>
+        engine.topKMsm(q, m, rounded = true).collect()
+      }
+      val mlats = Bm25.MsmQuerySet.map { case (_, q, m) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKMsm(q, m, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      Bm25.QuerySet.foreach { case (_, q) => engine.topKSortedByLen(q).collect() }
+      val slats = Bm25.QuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKSortedByLen(q).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def mpct(xs: Seq[Double], p: Double) = xs(
+        math.min(xs.length - 1, math.ceil(p * xs.length).toInt - 1).max(0))
+      f""""msm_p50_ms":${mpct(mlats, 0.5)}%.3f,"sorted_p50_ms":${mpct(slats, 0.5)}%.3f,"""
+    }
+
     // hybrid + ANN latency (peak child only): the 6-query hybrid RRF
     // set end-to-end (indexed OR leg + brute cosine leg + fusion), the
     // brute cosine top-k set, and the SQ8 path split into its two honest
@@ -438,7 +467,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$annJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$msmJson$annJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -592,7 +621,7 @@ object Bench {
         "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
-        "count_p50_ms", "count_p95_ms",
+        "count_p50_ms", "count_p95_ms", "msm_p50_ms", "sorted_p50_ms",
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",
