@@ -147,6 +147,13 @@ object Explain {
         "contamination found, never corpus fingerprint volume).",
       graft.operators.TextStats.decontaminate(spark, sfDir))
 
+    show("line dedup (boilerplate removal, broadcast frequent-line probe)",
+      "Expect: two partial-aggregable hash aggs (distinct (doc,line) then " +
+        "count per line); the frequent set behind a BroadcastExchange " +
+        "into a LeftAnti BroadcastHashJoin (corpus probes, never builds); " +
+        "one groupBy(docID) rebuild exchange.",
+      Dedup.lineDedup(spark, sfDir))
+
     val emb0 = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val dim0 = emb0.select(size(col("embedding"))).head().getInt(0)
 

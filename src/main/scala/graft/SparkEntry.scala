@@ -388,6 +388,7 @@ object SparkEntry {
     "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir, dumpOracle = true)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    "line_dedup" -> ((s, dir) => Dedup.lineDedup(s, dir)),
 
     // -- similarity search over embeddings
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
@@ -535,6 +536,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.jaccardSql(),
     "dedup_groups" -> Dedup.dedupGroupsSql(),
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
+    "line_dedup" -> Dedup.lineDedupSql(),
     "ann_cosine_topk" -> Similarity.bruteTopKSql(),
     // materialized-artifact oracles (see OracleSide): the DuckDB twin
     // recomputes the full post-hash pipeline (bucket join / probe

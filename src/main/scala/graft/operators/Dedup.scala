@@ -448,4 +448,127 @@ object Dedup {
        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |      CAST(b.embedding AS DOUBLE[])), 4) >= $tau
        |ORDER BY vecA, vecB""".stripMargin
+
+  // -------------------------------------------- line-level boilerplate
+
+  /** Tokens per derived line (see [[linedTextCol]]). */
+  val LineTokens = 12
+  /** A line occurring in at least this many DISTINCT documents is
+    * boilerplate and removed. */
+  val LineMinDocs = 50
+  /** Boilerplate lines injected by the deterministic derivation. */
+  val BoilerHeader = "copyright example corp all rights reserved"
+  val BoilerFooter = "click here to subscribe to our newsletter"
+
+  /** Deterministically derived LINE-STRUCTURED text (the synthetic
+    * corpus is a flat token stream with no newlines, so — like
+    * `TextStats.piiScrub`'s address-bearing derivation — the line
+    * structure is derived identically on both engine and oracle sides):
+    * the analyzer token stream cut into [[LineTokens]]-token lines
+    * joined by '\n', with a boilerplate header line prepended to every
+    * docID % 3 == 0 doc and a footer appended to every docID % 4 == 0
+    * doc. The injected lines repeat across thousands of documents and
+    * are exactly what line-level dedup must strip. */
+  def linedTextCol: Column = {
+    val toks = Analyzer.tokensCol(col("content"))
+    val body = array_join(
+      transform(
+        sequence(lit(1), greatest(size(toks), lit(1)), lit(LineTokens)),
+        s => array_join(slice(toks, s, lit(LineTokens)), " ")),
+      "\n")
+    concat(
+      when(col("docID") % 3 === 0, lit(BoilerHeader + "\n")).otherwise(lit("")),
+      body,
+      when(col("docID") % 4 === 0, lit("\n" + BoilerFooter)).otherwise(lit("")))
+  }
+
+  /** Line-level boilerplate removal (C4 / RefinedWeb-style line-wise
+    * dedup): a line whose exact text occurs in >= minDocs DISTINCT
+    * documents corpus-wide (headers, footers, nav text, cookie banners)
+    * is removed from every document; per doc the output is
+    * (docID, n_lines, n_removed, cleaned) with `cleaned` the surviving
+    * lines re-joined by '\n' in original order. This is the standard
+    * boilerplate pass LLM ingest pipelines run between exact-dedup and
+    * near-dedup; the reference has no analogue (its unit of dedup is
+    * the whole page via the URL UNIQUE constraint,
+    * `src/database/database.cpp:34`).
+    *
+    * Scale design (100 TB): two hash-aggregate passes, both partially
+    * aggregable map-side. Pass 1 counts distinct docs per line
+    * ((docID, line) distinct, then count per line — uniform crypto-free
+    * keys, no skew beyond the boilerplate lines themselves, which are
+    * exactly the rows the HAVING keeps). The frequent set is bounded by
+    * totalLines/minDocs and in practice tiny (true boilerplate), so the
+    * removal anti-join broadcasts it; beyond the broadcast cap the same
+    * plan runs as a shuffled anti-join — correct, just co-partitioned on
+    * the line key like the count pass. Pass 2 rebuilds documents with a
+    * groupBy(docID) sorted-collect. At scale the join/count keys would
+    * be xxhash64(line) (8-byte shuffle rows, collision odds ~n²/2⁶⁵);
+    * the string key is kept here for bit-exact oracle identity. */
+  def lineDedup(spark: SparkSession, sfDir: String,
+                minDocs: Int = LineMinDocs): DataFrame = {
+    val lined = Corpus.docs(spark, sfDir)
+      .select(col("docID"), split(linedTextCol, "\n").as("lines"))
+    val ex = lined.select(col("docID"),
+      posexplode(col("lines")).as(Seq("idx", "line")))
+    val frequent = ex.select(col("docID"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"))
+    val kept = ex.join(broadcast(frequent), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("docID")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("cleaned"))
+    lined.select(col("docID"), size(col("lines")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("docID"), "left")
+      .select(col("docID"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[lineDedup]] (same derivation + threshold). */
+  def lineDedupSql(minDocs: Int = LineMinDocs): String =
+    s"""WITH tokarr AS (
+       |  SELECT doc_id AS docID,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                     t -> t <> '') AS toks
+       |  FROM documents
+       |), lined AS (
+       |  SELECT docID,
+       |         string_split(
+       |           CASE WHEN docID % 3 = 0 THEN '$BoilerHeader' || chr(10)
+       |                ELSE '' END ||
+       |           array_to_string(
+       |             list_transform(range(1, greatest(len(toks), 1) + 1, $LineTokens),
+       |               s -> array_to_string(
+       |                      toks[CAST(s AS BIGINT):CAST(s AS BIGINT) + ${LineTokens - 1}],
+       |                      ' ')),
+       |             chr(10)) ||
+       |           CASE WHEN docID % 4 = 0 THEN chr(10) || '$BoilerFooter'
+       |                ELSE '' END,
+       |           chr(10)) AS lines
+       |  FROM tokarr
+       |), ex AS (
+       |  SELECT docID, CAST(i AS BIGINT) AS idx, lines[CAST(i AS BIGINT)] AS line
+       |  FROM lined, unnest(range(1, len(lines) + 1)) AS s(i)
+       |), freq AS (
+       |  SELECT line FROM (SELECT DISTINCT docID, line FROM ex)
+       |  GROUP BY line HAVING count(*) >= $minDocs
+       |), kept AS (
+       |  SELECT * FROM ex WHERE line NOT IN (SELECT line FROM freq)
+       |), reb AS (
+       |  SELECT docID, count(*) AS n_kept,
+       |         string_agg(line, chr(10) ORDER BY idx) AS cleaned
+       |  FROM kept GROUP BY docID
+       |)
+       |SELECT l.docID, CAST(len(l.lines) AS BIGINT) AS n_lines,
+       |       CAST(len(l.lines) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       |       coalesce(r.cleaned, '') AS cleaned
+       |FROM lined l LEFT JOIN reb r USING (docID)
+       |ORDER BY docID""".stripMargin
 }

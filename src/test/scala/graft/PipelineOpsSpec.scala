@@ -792,4 +792,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n == Media.wavSamples(7L) && ch == Media.wavChannels(7L))
     assert(math.abs(whist.sum - 1.0) < 1e-9)
   }
+
+  test("line dedup: brute-force parity per doc; boilerplate stripped, order kept") {
+    import graft.functions.Analyzer
+    val out = Dedup.lineDedup(spark, dir)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // brute-force re-derivation of the lined corpus in plain Scala
+    val docs = Corpus.docs(spark, dir)
+      .select(col("docID"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val lined: Map[Long, Array[String]] = docs.map { case (id, c) =>
+      val toks = Analyzer.tokenize(c)
+      val body = (1 to math.max(toks.length, 1) by Dedup.LineTokens)
+        .map(s => toks.slice(s - 1, s - 1 + Dedup.LineTokens).mkString(" "))
+        .mkString("\n")
+      val text = (if (id % 3 == 0) Dedup.BoilerHeader + "\n" else "") + body +
+        (if (id % 4 == 0) "\n" + Dedup.BoilerFooter else "")
+      id -> text.split("\n", -1)
+    }.toMap
+    val docFreq = lined.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val frequent = docFreq.filter(_._2 >= Dedup.LineMinDocs).keySet
+    assert(frequent.contains(Dedup.BoilerHeader) &&
+      frequent.contains(Dedup.BoilerFooter),
+      s"injected boilerplate must cross the threshold: $frequent")
+    assert(rows.keySet == lined.keySet)
+    for ((id, ls) <- lined) {
+      val keptLines = ls.filterNot(frequent.contains)
+      val (nLines, nRemoved, cleaned) = rows(id)
+      assert(nLines == ls.length.toLong, s"doc $id n_lines")
+      assert(nRemoved == (ls.length - keptLines.length).toLong,
+        s"doc $id n_removed")
+      assert(cleaned == keptLines.mkString("\n"), s"doc $id cleaned")
+      assert(!cleaned.contains(Dedup.BoilerHeader) &&
+        !cleaned.contains(Dedup.BoilerFooter), s"doc $id boilerplate survived")
+    }
+    // every %3 doc lost its header, every %4 doc its footer
+    assert(lined.keys.filter(_ % 3 == 0).forall(id => rows(id)._2 >= 1))
+    assert(lined.keys.filter(_ % 4 == 0).forall(id => rows(id)._2 >= 1))
+    // the frequent set must reach the removal anti-join as a broadcast
+    // (bounded by totalLines/minDocs — true boilerplate is tiny), with
+    // the corpus side probing, never built
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"frequent-line set must broadcast into a LeftAnti probe:\n$plan")
+  }
 }
