@@ -458,7 +458,11 @@ object Bench {
       val flagged = TextStats.decontaminate(spark, pipeDir, arraysIn = arrays)
         .filter(col("contaminated") === 1).count()
       val deconSec = (System.nanoTime() - tc2) / 1e9
-      f""""pipe_docs":$pipeDocs,"dedup_sec":$dedupSec%.3f,"dedup_docs_per_sec":${pipeDocs / dedupSec}%.1f,"dedup_pairs":$pairs,"decon_sec":$deconSec%.3f,"decon_docs_per_sec":${pipeDocs / deconSec}%.1f,"decon_flagged":$flagged,"""
+      val tl = System.nanoTime()
+      val linesRemoved = Dedup.lineDedup(spark, pipeDir)
+        .agg(sum(col("n_removed"))).head().getLong(0)
+      val lineSec = (System.nanoTime() - tl) / 1e9
+      f""""pipe_docs":$pipeDocs,"dedup_sec":$dedupSec%.3f,"dedup_docs_per_sec":${pipeDocs / dedupSec}%.1f,"dedup_pairs":$pairs,"decon_sec":$deconSec%.3f,"decon_docs_per_sec":${pipeDocs / deconSec}%.1f,"decon_flagged":$flagged,"linededup_sec":$lineSec%.3f,"linededup_docs_per_sec":${pipeDocs / lineSec}%.1f,"lines_removed":$linesRemoved,"""
     }
     spark.stop()
     val lat = perQuery.map(_._2).sorted
@@ -576,7 +580,8 @@ object Bench {
     val measurePhrase = sys.env.getOrElse("SPARK_GRAFT_PHRASE", "1") == "1"
     val peakRetries = sys.env.getOrElse("SPARK_GRAFT_PEAK_RETRIES", "1").toInt
     val pipeKeys = Set("pipe_docs", "dedup_sec", "dedup_docs_per_sec",
-      "dedup_pairs", "decon_sec", "decon_docs_per_sec", "decon_flagged")
+      "dedup_pairs", "decon_sec", "decon_docs_per_sec", "decon_flagged",
+      "linededup_sec", "linededup_docs_per_sec", "lines_removed")
     def extBusy(m: Map[String, String]): Double =
       m.getOrElse("host_ext_busy_frac", "-1").toDouble
     var main = runChild(cpus, corpusDir, sfDir, mem,
@@ -627,6 +632,7 @@ object Bench {
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
         "decon_sec", "decon_docs_per_sec", "decon_flagged",
+        "linededup_sec", "linededup_docs_per_sec", "lines_removed",
         "build_postings", "build_segments", "build_encoded_bytes",
         "build_input_bytes", "build_shuffle_write_bytes")
       .flatMap(k => main.get(k).map(v => s""""$k":$v""")).mkString(",")
