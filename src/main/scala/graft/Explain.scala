@@ -150,8 +150,9 @@ object Explain {
     show("line dedup (boilerplate removal, broadcast frequent-line probe)",
       "Expect: two partial-aggregable hash aggs (distinct (doc,line) then " +
         "count per line); the frequent set behind a BroadcastExchange " +
-        "into a LeftAnti BroadcastHashJoin (corpus probes, never builds); " +
-        "one groupBy(docID) rebuild exchange.",
+        "into a BroadcastHashJoin probe (corpus probes, never builds); " +
+        "ONE groupBy(docID) rebuild exchange computing n_lines/n_removed/" +
+        "cleaned together — no corpus-wide doc re-join anywhere.",
       Dedup.lineDedup(spark, sfDir))
 
     val emb0 = Corpus.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))

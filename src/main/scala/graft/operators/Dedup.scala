@@ -499,11 +499,15 @@ object Dedup {
     * keys, no skew beyond the boilerplate lines themselves, which are
     * exactly the rows the HAVING keeps). The frequent set is bounded by
     * totalLines/minDocs and in practice tiny (true boilerplate), so the
-    * removal anti-join broadcasts it; beyond the broadcast cap the same
-    * plan runs as a shuffled anti-join — correct, just co-partitioned on
-    * the line key like the count pass. Pass 2 rebuilds documents with a
-    * groupBy(docID) sorted-collect. At scale the join/count keys would
-    * be xxhash64(line) (8-byte shuffle rows, collision odds ~n²/2⁶⁵);
+    * removal probe broadcasts it; beyond the broadcast cap the same
+    * plan runs as a shuffled join — correct, just co-partitioned on
+    * the line key like the count pass. Pass 2 rebuilds documents in ONE
+    * groupBy(docID) sorted-collect that computes n_lines / n_removed /
+    * cleaned together (collect_list drops the null-flagged boilerplate
+    * rows), so there is no corpus-wide doc⋈doc re-join anywhere — the
+    * only corpus-sized exchanges are the line-frequency agg and the
+    * per-doc rebuild. At scale the probe/count keys would be
+    * xxhash64(line) (8-byte shuffle rows, collision odds ~n²/2⁶⁵);
     * the string key is kept here for bit-exact oracle identity. */
   def lineDedup(spark: SparkSession, sfDir: String,
                 minDocs: Int = LineMinDocs): DataFrame = {
@@ -514,20 +518,17 @@ object Dedup {
     val frequent = ex.select(col("docID"), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("line"))
-    val kept = ex.join(broadcast(frequent), Seq("line"), "left_anti")
-    val rebuilt = kept.groupBy(col("docID")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(
-        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
-          s => s.getField("line")),
-        "\n").as("cleaned"))
-    lined.select(col("docID"), size(col("lines")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("docID"), "left")
-      .select(col("docID"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
-          .as("n_removed"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .select(col("line"), lit(1).as("bp"))
+    ex.join(broadcast(frequent), Seq("line"), "left")
+      .groupBy(col("docID")).agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        count(col("bp")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("bp").isNull, struct(col("idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("cleaned"))
       .orderBy(col("docID"))
   }
 

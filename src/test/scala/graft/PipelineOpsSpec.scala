@@ -832,11 +832,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     // every %3 doc lost its header, every %4 doc its footer
     assert(lined.keys.filter(_ % 3 == 0).forall(id => rows(id)._2 >= 1))
     assert(lined.keys.filter(_ % 4 == 0).forall(id => rows(id)._2 >= 1))
-    // the frequent set must reach the removal anti-join as a broadcast
+    // the frequent set must reach the removal probe as a broadcast
     // (bounded by totalLines/minDocs — true boilerplate is tiny), with
-    // the corpus side probing, never built
+    // the corpus side probing, never built; and the rebuild must be ONE
+    // groupBy(docID) — no corpus-wide doc re-join, so the only hash
+    // exchanges are the two frequency aggs and the rebuild agg
+    // AQE's string carries Final + Initial plans — audit the final only
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"frequent-line set must broadcast into a LeftAnti probe:\n$plan")
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-line set must broadcast into the probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-wide shuffled join allowed:\n$plan")
+    val nHashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(nHashEx <= 3,
+      s"expected <= 3 hash exchanges (freq distinct+count, rebuild), got $nHashEx:\n$plan")
   }
 }
