@@ -408,6 +408,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) => TextStats.sampleStratified(s, dir)),
     "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
     "training_set" -> ((s, dir) => TextStats.trainingSet(s, dir)),
+    "training_set_curated" -> ((s, dir) =>
+      TextStats.curatedTrainingSet(s, dir, dumpOracle = true)),
     "repetition_stats" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
     "chunk_documents" -> ((s, dir) => TextStats.chunkDocuments(s, dir)),
     "pii_scrub" -> ((s, dir) => TextStats.piiScrub(s, dir)),
@@ -556,6 +558,7 @@ object SparkEntry {
     "sample_stratified" -> TextStats.sampleStratifiedSql(),
     "pack_sequences" -> TextStats.packSequencesSql(),
     "training_set" -> TextStats.trainingSetSql(),
+    "training_set_curated" -> TextStats.curatedTrainingSetSql(),
     "repetition_stats" -> TextStats.repetitionStatsSql,
     "chunk_documents" -> TextStats.chunkDocumentsSql(),
     "pii_scrub" -> TextStats.piiScrubSql,

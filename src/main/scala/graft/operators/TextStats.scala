@@ -940,4 +940,62 @@ object TextStats {
        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        |       CAST(coalesce(h.n_hits, 0) >= $minHits AS BIGINT) AS contaminated
        |FROM tr LEFT JOIN h USING (docID) ORDER BY docID""".stripMargin
+
+  // --------------------------------------------- curated training set
+
+  /** The full curation pipeline in one entry — what a pretraining-data
+    * job actually ships: [[trainingSet]]'s one-pass selection (exact-dup
+    * representative ∧ quality floor ∧ token-length band) further gated by
+    * benchmark hygiene: held-out eval docs (docID % modulus == 0) are
+    * excluded outright, and training docs flagged by [[decontaminate]]
+    * (≥ minHits winnowing-fingerprint overlap with the eval split) are
+    * anti-joined away. A duplicate group whose representative is an eval
+    * or contaminated doc drops entirely — the representative IS the
+    * group's training candidate, by [[trainingSet]]'s contract.
+    *
+    * Scale design: nothing new shuffles. The selection is trainingSet's
+    * single corpus scan + one partial-aggregable min_by; the
+    * contamination gate consumes the materialized [[fingerprintTable]]
+    * artifact (no extra winnow pass) and yields a flagged set bounded by
+    * contamination FOUND, which rides the exclusion as a broadcast
+    * LeftAnti probe. */
+  def curatedTrainingSet(spark: SparkSession, sfDir: String,
+                         modulus: Int = DeconModulus,
+                         minHits: Int = DeconMinHits,
+                         dumpOracle: Boolean = false): DataFrame = {
+    val arrays = fingerprintTable(spark, sfDir)
+    if (dumpOracle) graft.OracleSide.dump("fp_arrays_curate", arrays)
+    val flagged = decontaminate(spark, sfDir, modulus, minHits,
+        arraysIn = arrays)
+      .filter(col("contaminated") === 1).select(col("docID"))
+    trainingSet(spark, sfDir)
+      .filter(col("docID") % modulus =!= 0)
+      .join(broadcast(flagged), Seq("docID"), "left_anti")
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[curatedTrainingSet]]: the [[trainingSetSql]] body
+    * as a CTE, gated by the decon flags recomputed from the dumped
+    * fingerprint arrays. */
+  def curatedTrainingSetSql(modulus: Int = DeconModulus,
+                            minHits: Int = DeconMinHits): String = {
+    val sel = trainingSetSql().replace("ORDER BY docID", "")
+    s"""WITH sel AS (
+       |$sel
+       |), a AS (
+       |  SELECT docID, fps FROM ${graft.OracleSide.glob("fp_arrays_curate")}
+       |), ev AS (
+       |  SELECT DISTINCT fp
+       |  FROM (SELECT unnest(fps) AS fp FROM a WHERE docID % $modulus = 0)
+       |), h AS (
+       |  SELECT t.docID, count(*) AS n_hits
+       |  FROM (SELECT docID, unnest(fps) AS fp FROM a
+       |        WHERE docID % $modulus <> 0) t
+       |  JOIN ev USING (fp) GROUP BY 1
+       |), bad AS (SELECT docID FROM h WHERE n_hits >= $minHits)
+       |SELECT sel.* FROM sel
+       |WHERE sel.docID % $modulus <> 0
+       |  AND sel.docID NOT IN (SELECT docID FROM bad)
+       |ORDER BY sel.docID""".stripMargin
+  }
 }

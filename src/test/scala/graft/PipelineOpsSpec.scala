@@ -793,6 +793,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(whist.sum - 1.0) < 1e-9)
   }
 
+  test("curated training set == training set minus eval minus contaminated") {
+    val curated = TextStats.curatedTrainingSet(spark, dir)
+    val curRows = curated.collect()
+    val baseRows = TextStats.trainingSet(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val flagged = TextStats.decontaminate(spark, dir)
+      .filter(col("contaminated") === 1)
+      .select("docID").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture must exercise the contamination gate")
+    val expect = baseRows.keySet
+      .filter(id => id % TextStats.DeconModulus != 0 && !flagged(id))
+    assert(curRows.map(_.getLong(0)).toSet == expect)
+    assert(curRows.length < baseRows.size, "the hygiene gates must bite")
+    // survivors carry training_set's exact rows (selection untouched)
+    curRows.foreach(r => assert(r.toSeq == baseRows(r.getLong(0))))
+    // the flagged set must reach the exclusion as a broadcast LeftAnti
+    // probe (bounded by contamination found, never a shuffled side)
+    val plan = curated.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"flagged set must broadcast into a LeftAnti probe:\n$plan")
+  }
+
   test("line dedup: brute-force parity per doc; boilerplate stripped, order kept") {
     import graft.functions.Analyzer
     val out = Dedup.lineDedup(spark, dir)
