@@ -147,6 +147,14 @@ object Explain {
         "contamination found, never corpus fingerprint volume).",
       graft.operators.TextStats.decontaminate(spark, sfDir))
 
+    show("curated training set (selection ∧ eval-exclusion ∧ decon anti-join)",
+      "Expect: trainingSet's single-scan selection with the eval modulus " +
+        "filter pushed into it, and the decontamination-flagged set — " +
+        "bounded by contamination FOUND — behind a BroadcastExchange into " +
+        "a LeftAnti BroadcastHashJoin; no new corpus-proportional " +
+        "Exchange over the trainingSet plan.",
+      graft.operators.TextStats.curatedTrainingSet(spark, sfDir))
+
     show("line dedup (boilerplate removal, broadcast frequent-line probe)",
       "Expect: two partial-aggregable hash aggs (distinct (doc,line) then " +
         "count per line); the frequent set behind a BroadcastExchange " +
