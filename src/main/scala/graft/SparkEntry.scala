@@ -148,6 +148,14 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllFuzzy()
   }
 
+  /** Wildcard retrieval: each fixed fragment expands to every dictionary
+    * term containing it, then OR semantics over the expansion. */
+  def indexedWildcardTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllWildcard()
+  }
+
   /** Proximity (window) retrieval over the positional index: each fixed
     * query's terms must co-occur within its w-token window. */
   def indexedWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -366,6 +374,10 @@ object SparkEntry {
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
     "bm25_fuzzy_indexed" -> ((s, dir) => indexedFuzzyTopK(s, dir)),
 
+    // -- wildcard BM25: *frag* contains dictionary expansion, OR semantics
+    "bm25_wildcard_oracle" -> ((s, dir) => Bm25.oracleWildcardTopK(s, dir)),
+    "bm25_wildcard_indexed" -> ((s, dir) => indexedWildcardTopK(s, dir)),
+
     // -- proximity (window) BM25: all terms within w consecutive tokens
     "bm25_window_oracle" -> ((s, dir) => Bm25.oracleWindowTopK(s, dir)),
     "bm25_window_indexed" -> ((s, dir) => indexedWindowTopK(s, dir)),
@@ -516,6 +528,8 @@ object SparkEntry {
     "bm25_prefix_indexed" -> Bm25.oracleSqlPrefixTopK(),
     "bm25_fuzzy_oracle" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
+    "bm25_wildcard_oracle" -> Bm25.oracleSqlWildcardTopK(),
+    "bm25_wildcard_indexed" -> Bm25.oracleSqlWildcardTopK(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),

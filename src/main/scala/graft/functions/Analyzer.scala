@@ -75,6 +75,8 @@ object Analyzer {
       phrases: Seq[Seq[String]],
       prefixes: Seq[String],
       fuzzies: Seq[String],
+      // `*frag*` wildcard (contains) expansion pieces (input order)
+      wildcards: Seq[String] = Nil,
       // `field:value` facet pieces (input order); the VALUE is kept raw
       // (field values are metadata, not analyzed text)
       fields: Seq[(String, String)] = Nil,
@@ -93,6 +95,7 @@ object Analyzer {
     *                             a plain term (adjacency is vacuous).
     *   - `piece*`              → prefix-expansion piece
     *   - `piece~`              → fuzzy-expansion (Levenshtein-1) piece
+    *   - `*piece*`             → wildcard (contains) expansion piece
     *
     *   - `field:value`        → facet restriction (e.g. `lang:en`); the
     *                             value is raw metadata, not analyzed
@@ -166,8 +169,16 @@ object Analyzer {
     }.toSeq
     val phrases = pieces2.collect { case (t, true, false) => tokenize(t) }
       .filter(_.length >= 2).toSeq
+    // `*frag*` wildcards collect FIRST: they also end with '*', so the
+    // prefix collect below must not claim them
+    val wildcards = pieces2.collect {
+      case (t, false, false) if t.length > 2 && t.startsWith("*") &&
+        t.endsWith("*") && !FieldPat.matches(t) =>
+        tokenize(t.substring(1, t.length - 1)).mkString
+    }.filter(_.nonEmpty).toSeq
     val prefixes = pieces2.collect {
       case (t, false, false) if t.length > 1 && t.endsWith("*") &&
+        !(t.length > 2 && t.startsWith("*")) &&
         !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
     val fuzzies = pieces2.collect {
@@ -182,6 +193,7 @@ object Analyzer {
     val pos = (bare.flatMap(tokenize) ++ phrases.flatten).distinct.sorted.toSeq
     val neg = pieces2.collect { case (t, false, true) => t }
       .flatMap(tokenize).distinct.sorted.toSeq
-    SearchQuery(pos, neg, phrases, prefixes, fuzzies, fields, boostsB.toMap)
+    SearchQuery(pos, neg, phrases, prefixes, fuzzies, wildcards,
+      fields, boostsB.toMap)
   }
 }

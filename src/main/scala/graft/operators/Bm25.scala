@@ -105,6 +105,23 @@ object Bm25 {
     ("z07", "batc"),
   )
 
+  /** Fixed wildcard (contains) query set (FIXTURES.md §28): each query
+    * is one term FRAGMENT; it expands to every dictionary term
+    * CONTAINING it and runs with OR semantics over the expansion (same
+    * ordered-fold scoring as prefix/fuzzy). Covers: infix expansion
+    * (3 terms, mixed df), suffix-ish expansion (4 terms), single-term
+    * expansion (≡ OR), absent fragment (∅), widest expansion (13
+    * terms), two-term expansion, rare exact-contains. */
+  val WildcardQuerySet: Seq[(String, String)] = Seq(
+    ("c01", "ow"),
+    ("c02", "er"),
+    ("c03", "able"),
+    ("c04", "zzz"),
+    ("c05", "a"),
+    ("c06", "ue"),
+    ("c07", "dup"),
+  )
+
   /** Fixed more-like-this source docs (FIXTURES.md §22): present at
     * every scale factor (doc_id 0..499 at sf0.001 already). */
   val MltSources: Seq[Long] = Seq(0L, 7L, 42L)
@@ -1028,6 +1045,66 @@ object Bm25 {
       .select(col("docID"), col("score"))
   }
 
+  /** Brute-force wildcard (contains) BM25 top-k over
+    * [[WildcardQuerySet]]: every corpus term CONTAINING the fragment
+    * contributes with OR semantics; scoring is the same ascending-term
+    * ordered fold as [[oraclePrefixTopK]] (bit-identical to the engine
+    * and the DuckDB `list_reduce` twin). */
+  def oracleWildcardTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = WildcardQuerySet.map { case (qid, frag) =>
+      scored
+        .filter(col("term").contains(frag))
+        .groupBy(col("docID"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("raw"))
+        .withColumn("score", round(col("raw"), 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score wildcard variant for internal rank-identity tests. */
+  def oracleWildcardTopKExact(spark: SparkSession, sfDir: String,
+                              frag: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    tf.join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .filter(col("term").contains(frag))
+      .groupBy(col("docID"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score phrase variant for internal rank-identity tests. */
   def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
                             k: Int = K): DataFrame = {
@@ -1837,6 +1914,49 @@ object Bm25 {
          |    SELECT docID,
          |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
          |    FROM scored WHERE levenshtein(term, '$q') <= $maxDist
+         |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleWildcardTopK]]: the prefix twin with the
+    * expansion predicate swapped to `term LIKE '%frag%'` (fragments are
+    * analyzer tokens — alphanumeric only, no LIKE metacharacters), same
+    * ordered fold. */
+  def oracleSqlWildcardTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = WildcardQuerySet.map { case (qid, frag) =>
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round(raw, 4) AS score,
+         |         row_number() OVER (ORDER BY round(raw, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+         |    FROM scored WHERE term LIKE '%$frag%'
          |    GROUP BY docID
          |  )
          |) WHERE rank <= $k)""".stripMargin

@@ -1383,7 +1383,7 @@ final class QueryEngine(
                         forceComposition: Boolean = false): DataFrame = {
     val p = Analyzer.parseSearch(qtext)
     require(p.phrases.isEmpty && p.neg.isEmpty && p.fields.isEmpty &&
-      p.prefixes.isEmpty && p.fuzzies.isEmpty,
+      p.prefixes.isEmpty && p.fuzzies.isEmpty && p.wildcards.isEmpty,
       "grouped retrieval supports bare terms and term^w boosts only")
     val terms = p.pos
     val empty = Seq.empty[(String, Int, Long, Double)]
@@ -1651,6 +1651,31 @@ final class QueryEngine(
     expanded
   }
 
+  /** Expand a term FRAGMENT to every dictionary term containing it
+    * (distinct ascending) — the `*frag*` wildcard of a search box.
+    * Small-vocab path: an in-memory sweep of the pinned dictionaries.
+    * Big-vocab fallback: a full dictionary scan with the codegen'd
+    * Contains filter — an infix has no sortable prefix to push down
+    * (same honest cost as [[expandFuzzy]]: the dictionary is only
+    * ~log(corpus) rows and the scan is embarrassingly parallel). `cap`
+    * bounds the expansion exactly like [[expandPrefix]]. */
+  def expandContains(frag: String, cap: Int = 64): Seq[String] = {
+    val f = frag.toLowerCase(java.util.Locale.ROOT)
+    require(f.nonEmpty, "empty fragment")
+    val expanded = (dictCaches match {
+      case Some(ms) => ms.flatMap(_.keysIterator.filter(_.contains(f)))
+      case None => indexDirs.flatMap { d =>
+        Index.readDictionary(spark, d)
+          .filter(col("term").contains(f))
+          .select(col("term")).as[String]
+          .take(cap + 1).toSeq
+      }
+    }).distinct.sorted
+    require(expanded.size <= cap,
+      s"wildcard '*$f*' expands to ${expanded.size} terms (cap $cap) — narrow it")
+    expanded
+  }
+
   /** Fuzzy retrieval: the query term expands to its Levenshtein-≤-1
     * dictionary neighborhood ([[expandFuzzy]]) and runs with OR
     * semantics over the expansion — identical scoring/path story to
@@ -1687,6 +1712,26 @@ final class QueryEngine(
   def topKAllPrefix(k: Int = Bm25.K): DataFrame =
     contractFrame(Bm25.PrefixQuerySet.map { case (qid, prefix) =>
       qid -> topKPrefix(prefix, k, rounded = true)
+    })
+
+  /** Wildcard (contains) retrieval: the fragment expands to every
+    * dictionary term containing it ([[expandContains]]) and runs with
+    * OR semantics over the expansion — identical scoring/path story to
+    * [[topKPrefix]]: expansion terms are plain analyzer tokens, so they
+    * re-enter the normal query pipeline verbatim and ride every
+    * existing physical path and cache. */
+  def topKWildcard(frag: String, k: Int = Bm25.K, rounded: Boolean = false,
+                   cap: Int = 64): DataFrame = {
+    val terms = expandContains(frag, cap)
+    if (terms.isEmpty) Seq.empty[(Long, Double)].toDF("docID", "score")
+    else topKImpl(terms.mkString(" "), k, rounded, orMode = true)
+  }
+
+  /** Driver-contract frame over the fixed WILDCARD query set
+    * ([[Bm25.WildcardQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllWildcard(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.WildcardQuerySet.map { case (qid, frag) =>
+      qid -> topKWildcard(frag, k, rounded = true)
     })
 
   /** Autocomplete: the top-m dictionary completions of `prefix` by
@@ -2303,11 +2348,12 @@ final class QueryEngine(
           "at most one field:value piece per query in this version")
         fieldFacet(p.fields.head._1, p.fields.head._2)
       }
-    if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty) {
-      require(p.prefixes.size + p.fuzzies.size == 1 && p.pos.isEmpty &&
-        p.neg.isEmpty && p.phrases.isEmpty && facet == null,
-        "a prefix* / fuzzy~ piece must be the only piece of the query")
+    if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty || p.wildcards.nonEmpty) {
+      require(p.prefixes.size + p.fuzzies.size + p.wildcards.size == 1 &&
+        p.pos.isEmpty && p.neg.isEmpty && p.phrases.isEmpty && facet == null,
+        "a prefix* / fuzzy~ / *wildcard* piece must be the only piece of the query")
       if (p.prefixes.nonEmpty) topKPrefix(p.prefixes.head, k, rounded)
+      else if (p.wildcards.nonEmpty) topKWildcard(p.wildcards.head, k, rounded)
       else topKFuzzy(p.fuzzies.head, k, rounded)
     } else if (p.phrases.isEmpty) {
       if (facet == null)

@@ -692,6 +692,50 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
   }
 
+  test("wildcard: rank-identity vs exact contains oracle (every wildcard query)") {
+    built
+    for ((qid, frag) <- Bm25.WildcardQuerySet) {
+      val oracle = collectTopK(Bm25.oracleWildcardTopKExact(spark, sfDir, frag))
+      val indexed = collectTopK(engine.topKWildcard(frag, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid '*$frag*': wildcard ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+    }
+  }
+
+  test("wildcard: rounded driver-contract frame matches brute-force contains oracle") {
+    built
+    val oracle = Bm25.oracleWildcardTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAllWildcard().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+  }
+
+  test("wildcard: expansion semantics — exact-term ≡ OR, absent ∅, cap, parser, search-box") {
+    built
+    // a fragment matching exactly one full term behaves like the plain OR query
+    assert(collectTopK(engine.topKWildcard("able")) ==
+      collectTopK(engine.topKOr("table")))
+    // absent fragment → empty, no error
+    assert(collectTopK(engine.topKWildcard("zzz")).isEmpty)
+    // expansion list is the sorted set of dictionary terms containing it
+    assert(engine.expandContains("ow") == Seq("row", "slow", "window"))
+    // cap guards unselective fragments ('a' expands to 13 terms here)
+    intercept[IllegalArgumentException] { engine.topKWildcard("a", cap = 3) }
+    // wildcard ⊇ prefix for the same string (contains ⊇ startsWith)
+    val viaPrefix = collectTopK(engine.topKPrefix("w", k = 1000)).map(_._1).toSet
+    val viaWild = collectTopK(engine.topKWildcard("w", k = 1000)).map(_._1).toSet
+    assert(viaPrefix.subsetOf(viaWild))
+    // parser: *frag* classifies as a wildcard piece, not a prefix
+    val p = graft.functions.Analyzer.parseSearch("*ow*")
+    assert(p.wildcards == Seq("ow") && p.prefixes.isEmpty && p.pos.isEmpty)
+    // search-box dispatch ≡ the direct API; mixing with other pieces rejected
+    assert(engine.search("*ow*", rounded = true).collect().toSeq ==
+      engine.topKWildcard("ow", rounded = true).collect().toSeq)
+    intercept[IllegalArgumentException] { engine.search("*ow* table") }
+  }
+
   test("suggest: completions == brute df ranking; absent prefix empty; dict-scan path identical") {
     built
     val dfTruth = Bm25.docFreq(Bm25.termFreq(Corpus.docs(spark, sfDir)))
