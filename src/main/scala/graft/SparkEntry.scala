@@ -156,6 +156,15 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllWildcard()
   }
 
+  /** Per-length-bucket match histogram: for every fixed AND query, the
+    * count of matching docs per ⌊len/16⌋ bucket — B buckets from ONE
+    * grouped-counting kernel pass, not B gated counts. */
+  def indexedLenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).lenHistogramAll()
+  }
+
   /** Proximity (window) retrieval over the positional index: each fixed
     * query's terms must co-occur within its w-token window. */
   def indexedWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -370,6 +379,9 @@ object SparkEntry {
     // -- per-facet hit counts (facet-navigation sidebar)
     "facet_counts" -> ((s, dir) => indexedFacetCounts(s, dir)),
 
+    // -- per-length-bucket match histogram (one-pass grouped counting)
+    "len_histogram" -> ((s, dir) => indexedLenHistogram(s, dir)),
+
     // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
     "bm25_fuzzy_indexed" -> ((s, dir) => indexedFuzzyTopK(s, dir)),
@@ -530,6 +542,7 @@ object SparkEntry {
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_wildcard_oracle" -> Bm25.oracleSqlWildcardTopK(),
     "bm25_wildcard_indexed" -> Bm25.oracleSqlWildcardTopK(),
+    "len_histogram" -> Bm25.oracleSqlLenHistogram(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),

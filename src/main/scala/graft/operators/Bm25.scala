@@ -122,6 +122,11 @@ object Bm25 {
     ("c07", "dup"),
   )
 
+  /** Length-histogram bucket width (FIXTURES.md §29): ⌊len/16⌋ spans
+    * ~7 buckets over the synthetic corpus's 10–99-token documents at
+    * every scale factor. */
+  val HistogramWidth = 16
+
   /** Fixed more-like-this source docs (FIXTURES.md §22): present at
     * every scale factor (doc_id 0..499 at sf0.001 already). */
   val MltSources: Seq[Long] = Seq(0L, 7L, 42L)
@@ -1919,6 +1924,35 @@ object Bm25 {
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of `QueryEngine.lenHistogramAll`: per AND query, the
+    * matching docs bucketed by ⌊len/width⌋ — zero buckets absent on
+    * both sides, bucket ascending. The absent-term query (q05)
+    * contributes no rows (HAVING can never reach the term count). */
+  def oracleSqlLenHistogram(width: Int = HistogramWidth): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query,
+         |        CAST(floor(CAST(dl.len AS DOUBLE) / $width) AS INTEGER) AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_docs
+         | FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |       GROUP BY docID HAVING count(*) = ${terms.size}) m
+         | JOIN dl USING (docID)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, bucket"
   }
 
   /** DuckDB twin of [[oracleWildcardTopK]]: the prefix twin with the

@@ -790,6 +790,81 @@ object QueryEngine {
     }
   }
 
+  /** Per-group match counts in [lo, hi) — [[countRange]]'s sweep with
+    * the single counter replaced by one counter PER GROUP of a doc→group
+    * mapping probed through a monotone cursor ([[monotoneGroupCursor]]).
+    * This is the one-pass histogram/date-range aggregation of a search
+    * service ("matches by length bucket"): B buckets cost ONE postings
+    * sweep, not B gated sweeps. No scoring, no norms, no materialized
+    * matches; unmapped docs (cursor -1) are skipped. Counts are
+    * additive over disjoint ranges, so pooled/distributed shards merge
+    * by elementwise array addition. */
+  def countGroupsRange(segsByTerm: Map[String, Array[PostingSegment]],
+                       terms: Array[String], avgdl: Double,
+                       lo: Long, hi: Long, orMode: Boolean,
+                       groupOf: Long => Int, nGroups: Int): Array[Long] = {
+    val counts = new Array[Long](nGroups)
+    if (orMode) {
+      val iters = terms.filter(segsByTerm.contains)
+        .map(t => new PostingListIterator(segsByTerm(t), avgdl))
+      if (iters.isEmpty) return counts
+      iters.foreach(_.advance(lo))
+      var running = true
+      while (running) {
+        var min = Long.MaxValue
+        var i = 0
+        while (i < iters.length) {
+          val it = iters(i)
+          if (!it.exhausted && it.docID < min) min = it.docID
+          i += 1
+        }
+        if (min == Long.MaxValue || min >= hi) running = false
+        else {
+          val g = groupOf(min)
+          if (g >= 0) counts(g) += 1
+          i = 0
+          while (i < iters.length) {
+            val it = iters(i)
+            if (!it.exhausted && it.docID == min) it.advance(min + 1)
+            i += 1
+          }
+        }
+      }
+      counts
+    } else {
+      if (terms.isEmpty || terms.exists(t => !segsByTerm.contains(t)))
+        return counts
+      val iters = terms.map(t => new PostingListIterator(segsByTerm(t), avgdl))
+      iters.foreach(_.advance(lo))
+      if (iters.exists(_.exhausted)) return counts
+      var candidate = iters(0).docID
+      var running = true
+      while (running && candidate < hi) {
+        var matched = true
+        var bump = candidate
+        var i = 1
+        while (matched && i < iters.length) {
+          val it = iters(i)
+          it.advance(candidate)
+          if (it.exhausted) { running = false; matched = false }
+          else if (it.docID != candidate) { bump = it.docID; matched = false }
+          i += 1
+        }
+        if (running) {
+          if (matched) {
+            val g = groupOf(candidate)
+            if (g >= 0) counts(g) += 1
+            iters(0).advance(candidate + 1)
+          }
+          else iters(0).advance(bump)
+          if (iters(0).exhausted) running = false
+          else candidate = iters(0).docID
+        }
+      }
+      counts
+    }
+  }
+
   /** Top-k matching docs in [lo, hi) ordered by a STATIC doc-values
     * field instead of relevance — the search-service `sort:` parameter
     * (newest-first, longest-first, …). Relevance is never computed:
@@ -2034,6 +2109,113 @@ final class QueryEngine(
     Bm25.QuerySet.map { case (qid, q) =>
       (qid, countMatches(q), countMatches(q, orMode = true))
     }.toDF("query", "n_docs", "n_docs_or").orderBy(col("query"))
+
+  /** Doc→length-bucket [[Groups]] for [[lenHistogram]]: bucket =
+    * ⌊len/width⌋ over the index's own docStats doc-values column,
+    * prepared ONCE and reused across queries (like a facet gate).
+    * Subject to [[prepareGroups]]'s broadcast cap — the resident-kernel
+    * histogram exists exactly while the doc→bucket map is
+    * broadcastable; beyond it, [[lenHistogramRelational]] is the plan
+    * of record. A deployment histogramming a different doc-values
+    * column (recency, stars, size) wires it through this same shape. */
+  def prepareLenGroups(width: Int): Groups = {
+    require(width > 0, s"bucket width must be positive: $width")
+    prepareGroups(allDocStats.select(col("docID"),
+      floor(col("len") / width).cast("long").cast("string").as("grp")))
+  }
+
+  /** Histogram of matching docs by length bucket — the ES-style
+    * `histogram` aggregation over the match set: (bucket, n_docs) for
+    * every bucket with ≥1 match, bucket ascending. ONE postings sweep
+    * counts ALL buckets ([[QueryEngine.countGroupsRange]]) — B buckets
+    * do not cost B gated counts. Driver-local when the query's postings
+    * are resident; sharded by docID range on the driver pool up to the
+    * pooled ceiling (bucket counts over disjoint ranges add
+    * elementwise). Queries beyond the resident caps take
+    * [[lenHistogramRelational]] — identical by the path-identity spec. */
+  def lenHistogram(qtext: String, groups: Groups,
+                   orMode: Boolean = false): Seq[(Int, Long)] = {
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty || groups.names.isEmpty) return Nil
+    val perDir = lookupPerDir(terms)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (!orMode && combinedDf.size < terms.size) return Nil
+    if (combinedDf.isEmpty) return Nil
+    val presentTerms = combinedDf.keys.toSeq.sorted
+    val driverTerm = combinedDf.maxBy(_._2)._1
+    val leaderFirst = (driverTerm +: presentTerms.filterNot(_ == driverTerm)).toArray
+    val totalDf = combinedDf.values.sum
+    val av = stats.avgdl
+    val nG = groups.names.size
+    require(localWandUpTo > 0 &&
+      totalDf <= math.max(localWandUpTo, localParallelCap),
+      s"histogram kernel needs resident postings (total df $totalDf beyond " +
+        "the pooled ceiling) — use lenHistogramRelational")
+    val byTerm = synchronized { localSegsFor(presentTerms, perDir) }
+    val counts: Array[Long] =
+      if (totalDf <= localWandUpTo)
+        QueryEngine.countGroupsRange(byTerm, leaderFirst, av,
+          0L, Long.MaxValue, orMode,
+          QueryEngine.monotoneGroupCursor(groups.ids, groups.groups), nG)
+      else {
+        // pooled: shard the docID space exactly like the pooled count;
+        // fresh group cursor per range — the galloping cursor is stateful
+        val nr = math.max(1L, math.min(4L * localThreads,
+          math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+        val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+        (0 until nr).map { r =>
+          localPool.submit(new java.util.concurrent.Callable[Array[Long]] {
+            def call(): Array[Long] = QueryEngine.countGroupsRange(
+              byTerm, leaderFirst, av, r * rsz, (r + 1L) * rsz, orMode,
+              QueryEngine.monotoneGroupCursor(groups.ids, groups.groups), nG)
+          })
+        }.map(_.get()).reduce { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }
+      }
+    counts.zipWithIndex.collect { case (c, g) if c > 0 =>
+      (groups.names(g).toInt, c) }.sortBy(_._1).toSeq
+  }
+
+  /** Relational twin of [[lenHistogram]] over the index's OWN artifacts
+    * (stage-1 tf table term-pruned by parquet pushdown, docStats for the
+    * doc-values column) — no corpus scan, no driver map, shuffles only
+    * the match set. This is the 10^12-doc histogram shape: when the
+    * doc→bucket map outgrows the gate broadcast cap or the query's
+    * postings outgrow the resident ceiling, aggregation belongs to the
+    * cluster, not a driver kernel. Identical output to the kernel path
+    * by the path-identity spec. */
+  def lenHistogramRelational(qtext: String, width: Int,
+                             orMode: Boolean = false): DataFrame = {
+    require(width > 0, s"bucket width must be positive: $width")
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "n_docs")
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return empty
+    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
+      .reduce(_ unionAll _)
+      .filter(col("term").isin(terms: _*))
+    val matches =
+      if (orMode) tf.select(col("docID")).distinct()
+      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size).select(col("docID"))
+    matches
+      .join(allDocStats.select(col("docID"), col("len")), "docID")
+      .groupBy(floor(col("len") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Driver-contract frame over the fixed AND query set: (query,
+    * bucket, n_docs) — the per-length-bucket match histogram, zero
+    * buckets omitted, bucket width [[Bm25.HistogramWidth]]. The bucket
+    * groups are prepared once and every query reuses them. */
+  def lenHistogramAll(width: Int = Bm25.HistogramWidth): DataFrame = {
+    val groups = prepareLenGroups(width)
+    Bm25.QuerySet.flatMap { case (qid, q) =>
+      lenHistogram(q, groups).map { case (b, n) => (qid, b, n) }
+    }.toDF("query", "bucket", "n_docs").orderBy(col("query"), col("bucket"))
+  }
 
   /** Sort-by-field retrieval — the search-service "sort by a doc-values
     * column, not by relevance" mode: the k docs matching ALL query terms

@@ -692,6 +692,29 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
   }
 
+  test("histogram: kernel path ≡ relational path; bucket sums ≡ total counts") {
+    built
+    val groups = engine.prepareLenGroups(Bm25.HistogramWidth)
+    for ((qid, q) <- Bm25.QuerySet; orMode <- Seq(false, true)) {
+      val kernel = engine.lenHistogram(q, groups, orMode)
+      val rel = engine.lenHistogramRelational(q, Bm25.HistogramWidth, orMode)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toSeq
+      assert(kernel == rel,
+        s"$qid or=$orMode: kernel=$kernel relational=$rel")
+      // B buckets from one pass must add up to the single total count
+      assert(kernel.map(_._2).sum == engine.countMatches(q, orMode),
+        s"$qid or=$orMode: bucket sums diverge from countMatches")
+    }
+    // absent-term AND query yields no buckets on both paths
+    assert(engine.lenHistogram("table zzzzunknown", groups).isEmpty)
+    assert(engine.lenHistogramRelational("table zzzzunknown",
+      Bm25.HistogramWidth).isEmpty)
+    // histogram of a match-everything query covers every doc exactly once
+    val all = engine.lenHistogram("the", groups, orMode = true)
+    assert(all.map(_._2).sum == engine.countMatches("the", orMode = true))
+    intercept[IllegalArgumentException] { engine.prepareLenGroups(0) }
+  }
+
   test("wildcard: rank-identity vs exact contains oracle (every wildcard query)") {
     built
     for ((qid, frag) <- Bm25.WildcardQuerySet) {
