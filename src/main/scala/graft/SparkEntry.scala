@@ -156,6 +156,17 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllWildcard()
   }
 
+  /** Numeric doc-values range facet: every fixed AND query gated to
+    * docs whose length lies in [lo, hi] — the allowed set read from the
+    * index's own docStats column, corpus untouched. */
+  def indexedTopKLenRange(spark: SparkSession, sfDir: String,
+                          lo: Long, hi: Long): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    eng.topKAllFiltered(eng.prepareLenRange(lo, hi), Bm25.K, orMode = false)
+  }
+
   /** Per-length-bucket match histogram: for every fixed AND query, the
     * count of matching docs per ⌊len/16⌋ bucket — B buckets from ONE
     * grouped-counting kernel pass, not B gated counts. */
@@ -298,6 +309,10 @@ object SparkEntry {
     "bm25_topk_filtered_oracle" -> ((s, dir) =>
       Bm25.oracleTopK(s, dir, langFilter = "de")),
     "bm25_topk_filtered" -> ((s, dir) => indexedTopKFiltered(s, dir, "de")),
+
+    // -- numeric doc-values range facet: len:[32 TO 79] from the
+    // index's own docStats, no corpus join
+    "bm25_topk_lenrange" -> ((s, dir) => indexedTopKLenRange(s, dir, 32, 79)),
 
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
@@ -530,6 +545,8 @@ object SparkEntry {
       docPred = "docID NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 3)"),
     "bm25_topk_filtered_oracle" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
+    "bm25_topk_lenrange" -> Bm25.oracleSqlTopK(
+      docPred = "docID IN (SELECT docID FROM dl WHERE len BETWEEN 32 AND 79)"),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),

@@ -2110,6 +2110,20 @@ final class QueryEngine(
       (qid, countMatches(q), countMatches(q, orMode = true))
     }.toDF("query", "n_docs", "n_docs_or").orderBy(col("query"))
 
+  /** Doc-values RANGE facet — the search-service `len:[lo TO hi]`
+    * numeric filter: the allowed set comes from the index's OWN
+    * docStats doc-values column, no corpus join (Lucene's points/
+    * doc-values range query). Resolves through [[prepareFilter]], so it
+    * composes with every gated surface (top-k, phrase, counts,
+    * search-after) and inherits the gate/complement/postFilter cap
+    * ladder. A deployment range-filtering a different numeric column
+    * (recency, stars, size) wires it through this same shape. */
+  def prepareLenRange(lo: Long, hi: Long): Facet = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    prepareFilter(allDocStats.filter(col("len").between(lo, hi))
+      .select(col("docID")))
+  }
+
   /** Doc→length-bucket [[Groups]] for [[lenHistogram]]: bucket =
     * ⌊len/width⌋ over the index's own docStats doc-values column,
     * prepared ONCE and reused across queries (like a facet gate).

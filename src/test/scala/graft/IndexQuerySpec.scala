@@ -692,6 +692,30 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKPrefix("d", k = 1000)).map(_._1).toSet == viaOr)
   }
 
+  test("len-range facet: ≡ explicit allowed-set facet; composes with counts; guards") {
+    built
+    val range = engine.prepareLenRange(32, 79)
+    // identical to a facet prepared from corpus-derived lengths
+    val lens = Bm25.docLengths(Bm25.termFreq(Corpus.docs(spark, sfDir)))
+    val explicit = engine.prepareFilter(
+      lens.filter(col("len").between(32, 79)).select(col("docID")))
+    for ((qid, q) <- Bm25.QuerySet) {
+      val a = engine.topKFiltered(q, range, Bm25.K, rounded = true,
+        orMode = false).collect().toSeq
+      val b = engine.topKFiltered(q, explicit, Bm25.K, rounded = true,
+        orMode = false).collect().toSeq
+      assert(a == b, s"$qid: len-range facet diverges from explicit facet")
+    }
+    // composes with the counting surface; bounded by the unfiltered count
+    val n = engine.countMatchesFiltered("table hash", range)
+    assert(n > 0 && n <= engine.countMatches("table hash"))
+    // degenerate range that admits nothing → empty results, no error
+    val none = engine.prepareLenRange(100000, 100001)
+    assert(engine.topKFiltered("table hash", none, Bm25.K,
+      rounded = true, orMode = false).isEmpty)
+    intercept[IllegalArgumentException] { engine.prepareLenRange(5, 4) }
+  }
+
   test("histogram: kernel path ≡ relational path; bucket sums ≡ total counts") {
     built
     val groups = engine.prepareLenGroups(Bm25.HistogramWidth)
