@@ -105,7 +105,7 @@ object Bm25 {
     ("z07", "batc"),
   )
 
-  /** Fixed wildcard (contains) query set (FIXTURES.md §28): each query
+  /** Fixed wildcard (contains) query set (FIXTURES.md §24): each query
     * is one term FRAGMENT; it expands to every dictionary term
     * CONTAINING it and runs with OR semantics over the expansion (same
     * ordered-fold scoring as prefix/fuzzy). Covers: infix expansion
@@ -122,7 +122,7 @@ object Bm25 {
     ("c07", "dup"),
   )
 
-  /** Length-histogram bucket width (FIXTURES.md §29): ⌊len/16⌋ spans
+  /** Length-histogram bucket width (FIXTURES.md §25): ⌊len/16⌋ spans
     * ~7 buckets over the synthetic corpus's 10–99-token documents at
     * every scale factor. */
   val HistogramWidth = 16
