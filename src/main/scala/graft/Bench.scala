@@ -390,7 +390,33 @@ object Bench {
       }.sorted
       def mpct(xs: Seq[Double], p: Double) = xs(
         math.min(xs.length - 1, math.ceil(p * xs.length).toInt - 1).max(0))
-      f""""msm_p50_ms":${mpct(mlats, 0.5)}%.3f,"sorted_p50_ms":${mpct(slats, 0.5)}%.3f,"""
+      // wildcard latency: contains-expansion against the pinned dict
+      // (driver-side, no job) + the ordinary OR pipeline over it
+      Bm25.WildcardQuerySet.foreach { case (_, f) =>
+        engine.topKWildcard(f, rounded = true).collect()
+      }
+      val wclats = Bm25.WildcardQuerySet.map { case (_, f) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKWildcard(f, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      // histogram latency: ALL length buckets of the match set in ONE
+      // grouped-counting kernel sweep (groups prepared once, amortized)
+      val hGroups = engine.prepareLenGroups(Bm25.HistogramWidth)
+      Bm25.QuerySet.foreach { case (_, q) => engine.lenHistogram(q, hGroups) }
+      val hlats = Bm25.QuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.lenHistogram(q, hGroups)
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      f""""msm_p50_ms":${mpct(mlats, 0.5)}%.3f,"sorted_p50_ms":${mpct(slats, 0.5)}%.3f,""" +
+      f""""wildcard_p50_ms":${mpct(wclats, 0.5)}%.3f,"histogram_p50_ms":${mpct(hlats, 0.5)}%.3f,"""
     }
 
     // hybrid + ANN latency (peak child only): the 6-query hybrid RRF

@@ -105,6 +105,24 @@ object Explain {
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topKPrefix("s"))
 
+    show("indexed BM25 top-k, wildcard expansion (scan path, physical)",
+      "Expect: SAME shape as prefix — the contains-expansion happened " +
+        "driver-side against the pinned dictionary (no job), and the " +
+        "expanded terms run the ordinary OR scan path: no per-query " +
+        "Exchange, one TakeOrderedAndProject.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topKWildcard("ow"))
+
+    show("length-histogram aggregation (relational fallback, artifact-side)",
+      "Expect: NO corpus scan — the tf artifact scan carries " +
+        "PushedFilters In(term, [...]) (term-pruned row groups); one " +
+        "match-set aggregate (partial_count before its Exchange), the " +
+        "docStats join, and a bucket hash-agg whose input is the match " +
+        "set, never the corpus. (The resident path is a driver kernel — " +
+        "no plan at all; this fallback is the 10^12-doc shape.)",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .lenHistogramRelational("hash join", Bm25.HistogramWidth))
+
     show("search snippets (fetch-by-id + codegen argmax)",
       "Expect: the corpus scan carries PushedFilters: In(doc_id, [...]) " +
         "— the ≤ k·|Q| result ids, never a full read; the window argmax " +
