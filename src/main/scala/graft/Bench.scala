@@ -653,6 +653,7 @@ object Bench {
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
         "count_p50_ms", "count_p95_ms", "msm_p50_ms", "sorted_p50_ms",
+        "wildcard_p50_ms", "histogram_p50_ms",
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",
