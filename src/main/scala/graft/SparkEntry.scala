@@ -82,6 +82,18 @@ object SparkEntry {
     eng.topKAllFiltered(deny, Bm25.K, orMode = false)
   }
 
+  /** BM25F fielded retrieval: the `path` field folded into the token
+    * stream with integer weight Bm25.FieldWeightPath — tf' and dl' per
+    * Robertson's BM25F with shared k1/b — so the standard builder,
+    * dictionary and WAND kernels rank the two-field model unchanged.
+    * Separate index dir: fielded df/avgdl/len differ from the plain
+    * index by construction. */
+  def indexedBm25fTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_f_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.buildFrom(spark, Bm25.fieldedDocs(Corpus.docs(spark, sfDir)), indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllOver(Bm25.FieldedQuerySet)
+  }
+
   /** Phrase queries need positions: a separate positional index dir. */
   def indexedPhraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -313,6 +325,10 @@ object SparkEntry {
     // -- numeric doc-values range facet: len:[32 TO 79] from the
     // index's own docStats, no corpus join
     "bm25_topk_lenrange" -> ((s, dir) => indexedTopKLenRange(s, dir, 32, 79)),
+
+    // -- BM25F two-field (path + content) ranking, integer field weights
+    "bm25f_topk_oracle" -> ((s, dir) => Bm25.oracleFieldedTopK(s, dir)),
+    "bm25f_topk_indexed" -> ((s, dir) => indexedBm25fTopK(s, dir)),
 
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
@@ -547,6 +563,8 @@ object SparkEntry {
     "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_topk_lenrange" -> Bm25.oracleSqlTopK(
       docPred = "docID IN (SELECT docID FROM dl WHERE len BETWEEN 32 AND 79)"),
+    "bm25f_topk_oracle" -> Bm25.oracleSqlFieldedTopK(),
+    "bm25f_topk_indexed" -> Bm25.oracleSqlFieldedTopK(),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),

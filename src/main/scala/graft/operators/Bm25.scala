@@ -127,6 +127,41 @@ object Bm25 {
     * every scale factor. */
   val HistogramWidth = 16
 
+  /** BM25F integer weight of the `path` field (content weight 1). An
+    * INTEGER weight lets Robertson's BM25F — tf'(t,d) = Σ_f w_f·tf_f and
+    * dl'(d) = Σ_f w_f·len_f with shared k1/b — be expressed as plain
+    * BM25 over a weighted field concatenation (path repeated w times in
+    * the token stream), so the index builder, dictionary, WAND kernels
+    * and the DuckDB SQL twin all apply unchanged. df under this model is
+    * the document frequency in the UNION of fields, the standard BM25F
+    * choice. */
+  val FieldWeightPath = 3
+
+  /** Fixed fielded (BM25F) query set (FIXTURES.md §27). Path tokens are
+    * `srcN` (the repo), the doc_id digits, and the extension `txt`
+    * (present in EVERY doc — a field-level stop word). Covers: pure
+    * path term, path+content AND, the universal field token (ranking
+    * degenerates to length normalization), pure content term under
+    * fielded stats, absent term (∅), mixed case + path term, content
+    * term AND universal field token. */
+  val FieldedQuerySet: Seq[(String, String)] = Seq(
+    "f01" -> "src3",
+    "f02" -> "src7 window",
+    "f03" -> "txt",
+    "f04" -> "window",
+    "f05" -> "src1 zzzzunknown",
+    "f06" -> "Sort src11",
+    "f07" -> "batch txt",
+  )
+
+  /** The fielded corpus: `path` folded into the token stream with weight
+    * [[FieldWeightPath]] (see there). Output shape == input shape, so
+    * [[graft.operators.Index.buildFrom]] consumes it directly. */
+  def fieldedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("content",
+      concat_ws(" ",
+        (col("content") +: Seq.fill(FieldWeightPath)(col("path"))): _*))
+
   /** Fixed more-like-this source docs (FIXTURES.md §22): present at
     * every scale factor (doc_id 0..499 at sf0.001 already). */
   val MltSources: Seq[Long] = Seq(0L, 7L, 42L)
@@ -306,8 +341,18 @@ object Bm25 {
     * selects candidates, it does not change the ranking model).
     */
   def oracleTopK(spark: SparkSession, sfDir: String, k: Int = K,
-                 langFilter: String = null): DataFrame = {
-    val docs   = Corpus.docs(spark, sfDir)
+                 langFilter: String = null): DataFrame =
+    oracleTopKCore(Corpus.docs(spark, sfDir), QuerySet, k, langFilter)
+
+  /** BM25F twin of [[oracleTopK]]: plain BM25 over [[fieldedDocs]] with
+    * the [[FieldedQuerySet]] — see [[FieldWeightPath]] for why that IS
+    * Robertson's BM25F with integer field weights. */
+  def oracleFieldedTopK(spark: SparkSession, sfDir: String,
+                        k: Int = K): DataFrame =
+    oracleTopKCore(fieldedDocs(Corpus.docs(spark, sfDir)), FieldedQuerySet, k, null)
+
+  private def oracleTopKCore(docs: DataFrame, querySet: Seq[(String, String)],
+                             k: Int, langFilter: String): DataFrame = {
     val tf     = termFreq(docs).cache()
     val doclen = docLengths(tf)
     val stats  = corpusStats(doclen)
@@ -324,7 +369,7 @@ object Bm25 {
         contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
       .select(col("docID"), col("term"), col("contrib"))
 
-    val perQuery = QuerySet.map { case (qid, qtext) =>
+    val perQuery = querySet.map { case (qid, qtext) =>
       val terms = Analyzer.queryTerms(qtext)
       val pivoted = scored
         .filter(col("term").isin(terms: _*))
@@ -1178,6 +1223,17 @@ object Bm25 {
   /** ANSI SQL (DuckDB dialect) twin of [[oracleTopK]], generated from the
     * same QuerySet so both sides share one source of truth. Table name
     * `documents` = the driver-registered parquet. */
+  /** DuckDB text expression of [[fieldedDocs]]: the raw `documents`
+    * columns reassembled into `content ⊕ path×w` (path is derived, not
+    * stored — `source || '/' || doc_id || '.txt'`, Corpus.scala:32). */
+  def fieldedTextSql: String =
+    s"lower(text || ' ' || repeat(source || '/' || CAST(doc_id AS VARCHAR) || '.txt '," +
+      s" $FieldWeightPath))"
+
+  /** DuckDB twin of [[oracleFieldedTopK]] / the fielded indexed entry. */
+  def oracleSqlFieldedTopK(k: Int = K): String =
+    oracleSqlTopK(k, querySet = FieldedQuerySet, textExpr = fieldedTextSql)
+
   def oracleSqlTopK(k: Int = K, langFilter: String = null,
                     // extra raw SQL predicate on the candidate docID
                     // (e.g. the tombstone-exclusion twin); appended to
@@ -1185,11 +1241,15 @@ object Bm25 {
                     docPred: String = null,
                     // pagination twin: emit ranks in [rankLo, k] — page 2
                     // of a k-deep ranking is (k+1, 2k). 1 = from the top.
-                    rankLo: Int = 1): String = {
+                    rankLo: Int = 1,
+                    // the query set and tokenized-text expression — the
+                    // fielded (BM25F) twin swaps both, nothing else
+                    querySet: Seq[(String, String)] = QuerySet,
+                    textExpr: String = "lower(text)"): String = {
     val base =
       s"""WITH tok AS (
          |  SELECT doc_id AS docID, t.term AS term
-         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  FROM documents, unnest(regexp_split_to_array($textExpr, '[^a-z0-9]+')) AS t(term)
          |  WHERE t.term <> ''
          |), tf AS (
          |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
@@ -1209,7 +1269,7 @@ object Bm25 {
          |           AS contrib
          |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
          |)""".stripMargin
-    val perQuery = QuerySet.map { case (qid, qtext) =>
+    val perQuery = querySet.map { case (qid, qtext) =>
       val terms = Analyzer.queryTerms(qtext)
       val inList = terms.map(t => s"'$t'").mkString(", ")
       val cs = terms.zipWithIndex.map { case (t, i) =>

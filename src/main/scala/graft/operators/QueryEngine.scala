@@ -2883,7 +2883,14 @@ final class QueryEngine(
     * (query, rank, docID, score) with rounded ranking — column-identical
     * to Bm25.oracleTopK / its DuckDB SQL twin. */
   def topKAll(k: Int = Bm25.K, orMode: Boolean = false): DataFrame =
-    contractFrame(Bm25.QuerySet.map { case (qid, qtext) =>
+    topKAllOver(Bm25.QuerySet, k, orMode)
+
+  /** [[topKAll]] over an arbitrary fixed query set — the fielded (BM25F)
+    * entry runs [[Bm25.FieldedQuerySet]] through the same kernels
+    * against its fielded index. */
+  def topKAllOver(querySet: Seq[(String, String)], k: Int = Bm25.K,
+                  orMode: Boolean = false): DataFrame =
+    contractFrame(querySet.map { case (qid, qtext) =>
       qid -> topKImpl(qtext, k, rounded = true, orMode = orMode)
     })
 

@@ -1436,6 +1436,30 @@ class IndexQuerySpec extends AnyFunSuite {
     } finally eng.close()
   }
 
+  test("BM25F fielded index: indexed frame == fielded oracle; field semantics hold") {
+    val fDir = "target/test-index-f-sf0001"
+    new Directory(new java.io.File(fDir)).deleteRecursively()
+    Index.buildFrom(spark, Bm25.fieldedDocs(Corpus.docs(spark, sfDir)), fDir, params)
+    val eng = new QueryEngine(spark, Seq(fDir))
+    try {
+      val oracle = Bm25.oracleFieldedTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+      val indexed = eng.topKAllOver(Bm25.FieldedQuerySet).collect().map(_.toSeq).toSeq
+      assert(indexed == oracle)
+      val byQ = indexed.groupBy(_.head)
+      // f03 "txt": the extension token is in EVERY doc's path → a full
+      // page of k results; f05 has an absent term → ∅ under AND
+      assert(byQ("f03").size == Bm25.K)
+      assert(!byQ.contains("f05"))
+      // f01 "src3": every hit's weighted tf ≥ FieldWeightPath only for
+      // src3-repo docs; the synthetic content never contains "src3", so
+      // the match set is exactly that repo
+      val src3 = Corpus.docs(spark, sfDir).filter(col("repo") === "src3")
+        .select("docID").collect().map(_.getLong(0)).toSet
+      val f01Docs = byQ("f01").map(r => r(2).asInstanceOf[Long]).toSet
+      assert(f01Docs.nonEmpty && f01Docs.subsetOf(src3))
+    } finally eng.close()
+  }
+
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
     built
     val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))
