@@ -94,6 +94,17 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllOver(Bm25.FieldedQuerySet)
   }
 
+  /** Synonym-group retrieval: `a|b` pieces score as one pseudo-term
+    * (tf summed over members, df = max member df — Lucene SynonymQuery),
+    * AND-composed; member postings merge into synthetic block-max
+    * segments at query prep (QueryEngine.mergeGroupSegments), so the
+    * ordinary conjunctive kernel runs unchanged. */
+  def indexedSynTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllSyn()
+  }
+
   /** Phrase queries need positions: a separate positional index dir. */
   def indexedPhraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -330,6 +341,10 @@ object SparkEntry {
     "bm25f_topk_oracle" -> ((s, dir) => Bm25.oracleFieldedTopK(s, dir)),
     "bm25f_topk_indexed" -> ((s, dir) => indexedBm25fTopK(s, dir)),
 
+    // -- synonym groups (a|b scored as one term, Lucene SynonymQuery)
+    "bm25_syn_oracle" -> ((s, dir) => Bm25.oracleSynTopK(s, dir)),
+    "bm25_syn_indexed" -> ((s, dir) => indexedSynTopK(s, dir)),
+
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
@@ -565,6 +580,8 @@ object SparkEntry {
       docPred = "docID IN (SELECT docID FROM dl WHERE len BETWEEN 32 AND 79)"),
     "bm25f_topk_oracle" -> Bm25.oracleSqlFieldedTopK(),
     "bm25f_topk_indexed" -> Bm25.oracleSqlFieldedTopK(),
+    "bm25_syn_oracle" -> Bm25.oracleSqlSynTopK(),
+    "bm25_syn_indexed" -> Bm25.oracleSqlSynTopK(),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),

@@ -62,6 +62,21 @@ object Analyzer {
      neg.flatMap(p => tokenize(p.drop(1))).distinct.sorted.toSeq)
   }
 
+  /** Synonym-group analysis (Lucene `SynonymQuery` grammar): whitespace
+    * pieces split on `|` form groups — "hash|join table" is
+    * (hash OR join) AND table with the group scored as ONE term. Each
+    * member goes through the normal analyzer; members dedupe + sort
+    * inside the group; groups dedupe by canonical name (sorted members
+    * joined "|") and sort by it — the BM25 association order, as
+    * [[queryTerms]]. A piece without `|` is a singleton group ≡ a plain
+    * term, so a pipe-free query is identical to the plain AND query. */
+  def synGroups(q: String): Seq[Seq[String]] =
+    q.split("\\s+").filter(_.nonEmpty).toSeq
+      .map(p => p.split('|').toSeq.flatMap(tokenize).distinct.sorted)
+      .filter(_.nonEmpty)
+      .distinct
+      .sortBy(_.mkString("|"))
+
   /** Parsed search-box query — the unified front door's grammar
     * ([[parseSearch]]). `pos` contains EVERY positive scoring term
     * (bare pieces AND the tokens of every quoted phrase), distinct +

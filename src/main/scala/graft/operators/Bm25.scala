@@ -162,6 +162,23 @@ object Bm25 {
       concat_ws(" ",
         (col("content") +: Seq.fill(FieldWeightPath)(col("path"))): _*))
 
+  /** Fixed synonym query set (FIXTURES.md §28): `a|b` pieces form
+    * synonym groups scored as ONE term (tf summed over members,
+    * df = max member df — Lucene SynonymQuery). Covers: classic pair +
+    * plain term, lone pair, a group with one absent member (≡ the
+    * present term alone — SAME scores, spec-pinned), a fully absent
+    * group (∅ under AND), a pipe-free query (≡ plain AND, bit-equal),
+    * a stop-word-heavy group, and duplicate members collapsing. */
+  val SynQuerySet: Seq[(String, String)] = Seq(
+    "y01" -> "hash|join table",
+    "y02" -> "merge|sort",
+    "y03" -> "window|zzzzunknown",
+    "y04" -> "zzzzunknown|qqqmissing batch",
+    "y05" -> "scan",
+    "y06" -> "the|batch small",
+    "y07" -> "hash|hash table",
+  )
+
   /** Fixed more-like-this source docs (FIXTURES.md §22): present at
     * every scale factor (doc_id 0..499 at sf0.001 already). */
   val MltSources: Seq[Long] = Seq(0L, 7L, 42L)
@@ -350,6 +367,50 @@ object Bm25 {
   def oracleFieldedTopK(spark: SparkSession, sfDir: String,
                         k: Int = K): DataFrame =
     oracleTopKCore(fieldedDocs(Corpus.docs(spark, sfDir)), FieldedQuerySet, k, null)
+
+  /** Synonym-group brute-force top-k (Lucene SynonymQuery semantics;
+    * see [[SynQuerySet]]): per group, tf sums over the members and df
+    * is the MAX member df; the group contribution then follows the
+    * ordinary BM25 formula and groups AND-compose. Association order =
+    * ascending canonical group name (Analyzer.synGroups), mirrored by
+    * the engine's pseudo-term sort and the SQL twin's generated sum. */
+  def oracleSynTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val dfr    = docFreq(tf)
+
+    val perQuery = SynQuerySet.map { case (qid, qtext) =>
+      val groups = Analyzer.synGroups(qtext)
+      val parts = groups.zipWithIndex.map { case (g, i) =>
+        val gtf = tf.filter(col("term").isin(g: _*))
+          .groupBy(col("docID")).agg(sum(col("tf")).as(s"tf$i"))
+        val gdf = dfr.filter(col("term").isin(g: _*))
+          .agg(max(col("df")).as(s"df$i"))
+        (gtf, gdf)
+      }
+      // inner joins = AND across groups; a fully absent group's tf frame
+      // is empty, so the query yields ∅ — same as the engine's early-out
+      val joined = parts.map(_._2).foldLeft(
+          parts.map(_._1).reduce((a, b) => a.join(b, "docID"))
+            .join(doclen, "docID").crossJoin(broadcast(stats))
+        )((acc, gdf) => acc.crossJoin(broadcast(gdf)))
+      val score = groups.indices
+        .map { i =>
+          contribCol(idfCol(col("n"), col(s"df$i")),
+            col(s"tf$i"), col("len"), col("avgdl"))
+        }
+        .reduce(_ + _) // fixed left-to-right association, group-name order
+      joined
+        .withColumn("score", round(score, 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
 
   private def oracleTopKCore(docs: DataFrame, querySet: Seq[(String, String)],
                              k: Int, langFilter: String): DataFrame = {
@@ -1233,6 +1294,60 @@ object Bm25 {
   /** DuckDB twin of [[oracleFieldedTopK]] / the fielded indexed entry. */
   def oracleSqlFieldedTopK(k: Int = K): String =
     oracleSqlTopK(k, querySet = FieldedQuerySet, textExpr = fieldedTextSql)
+
+  /** DuckDB twin of [[oracleSynTopK]] / the engine's synonym path: per
+    * group a summed-tf derived table and a max-df scalar, contributions
+    * summed in canonical group-name order (identical association). */
+  def oracleSqlSynTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |)""".stripMargin
+    val perQuery = SynQuerySet.map { case (qid, qtext) =>
+      val groups = Analyzer.synGroups(qtext)
+      def in(g: Seq[String]): String = g.map(t => s"'$t'").mkString(", ")
+      val fromChain = groups.indices.map { i =>
+        val sub = s"(SELECT docID, CAST(sum(tf) AS DOUBLE) AS tf FROM tf " +
+          s"WHERE term IN (${in(groups(i))}) GROUP BY docID) t$i"
+        if (i == 0) sub else s"JOIN $sub USING (docID)"
+      }.mkString("\n    ")
+      val dJoins = groups.indices.map { i =>
+        s"CROSS JOIN (SELECT CAST(max(df) AS DOUBLE) AS df FROM dfr " +
+          s"WHERE term IN (${in(groups(i))})) d$i"
+      }.mkString("\n    ")
+      val gCols = groups.indices.map { i =>
+        s"ln((stats.n - d$i.df + 0.5) / (d$i.df + 0.5) + 1.0)" +
+          s" * (t$i.tf * 2.2)" +
+          s" / (t$i.tf + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl)) AS g$i"
+      }.mkString(",\n           ")
+      val scoreExpr = groups.indices.map(i => s"g$i").mkString(" + ")
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round($scoreExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           $gCols
+         |    FROM $fromChain
+         |    JOIN dl USING (docID)
+         |    CROSS JOIN stats
+         |    $dJoins
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
 
   def oracleSqlTopK(k: Int = K, langFilter: String = null,
                     // extra raw SQL predicate on the candidate docID

@@ -297,6 +297,65 @@ object QueryEngine {
           segs, ts, lenOf, av, lo, hi, k, rnd)
       }
 
+  /** Query-time synonym-group posting merge (Lucene SynonymQuery
+    * semantics): the group scores as ONE term — tf(d) = Σ member tf(d),
+    * df = max member df — so a doc matching any member matches the
+    * group and multiple members never stack IDF. Members' posting
+    * lists (range-disjoint sorted segments each) are k-way merged over
+    * [lo, hi) and re-encoded through the standard segment kernel
+    * ([[Index.encodePartition]]), so block-max metadata is recomputed
+    * from the SUMMED tfs and every WAND bound downstream stays
+    * admissible. Pure and executor-safe: the distributed range path
+    * calls it per range task — merge cost is O(member postings ∩
+    * range), the price any engine pays to iterate a disjunction.
+    * Returns EMPTY when no member has a posting in range; callers must
+    * then OMIT the pseudo-term's map entry (the kernels treat a missing
+    * scoring term as an unmatchable conjunct), never insert an empty
+    * array. */
+  def mergeGroupSegments(name: String, dfG: Long,
+                         memberSegs: Array[Array[PostingSegment]],
+                         lenOf: Long => Long, avgdl: Double,
+                         lo: Long, hi: Long): Array[PostingSegment] = {
+    val its = memberSegs.filter(_.nonEmpty)
+      .map(ss => new PostingListIterator(ss, avgdl))
+    its.foreach(_.advance(lo))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Index.TermPosting]
+    var live = its.filter(!_.exhausted)
+    var stop = false
+    while (live.nonEmpty && !stop) {
+      var d = Long.MaxValue
+      live.foreach { it => if (it.docID < d) d = it.docID }
+      if (d >= hi) stop = true
+      else {
+        var tf = 0L
+        live.foreach { it =>
+          if (it.docID == d) { tf += it.tf; it.advance(d + 1) } }
+        rows += Index.TermPosting(name, d, tf, lenOf(d), dfG,
+          Index.bucketOf(dfG, 16), Array.emptyByteArray)
+        live = live.filter(!_.exhausted)
+      }
+    }
+    if (rows.isEmpty) Array.empty
+    else Index.encodePartition(rows.iterator,
+      Index.BuildParams(segmentSize = 4096,
+        saltThreshold = Long.MaxValue)).toArray
+  }
+
+  /** [[mergeGroupSegments]] over every group of a synonym query:
+    * `specs` = (pseudoName, present members, group df). Groups whose
+    * merge is empty in [lo, hi) are OMITTED (unmatchable conjunct —
+    * see [[mergeGroupSegments]]). Static so executor closures capture
+    * only the spec array, never an engine instance. */
+  def mergeAllGroups(specs: Seq[(String, Array[String], Long)],
+                     byReal: Map[String, Array[PostingSegment]],
+                     lenOf: Long => Long, avgdl: Double,
+                     lo: Long, hi: Long): Map[String, Array[PostingSegment]] =
+    specs.iterator.map { case (nm, ms, dfG) =>
+      nm -> mergeGroupSegments(nm, dfG,
+        ms.map(m => byReal.getOrElse(m, Array.empty[PostingSegment])),
+        lenOf, avgdl, lo, hi)
+    }.filter(_._2.nonEmpty).toMap
+
   /** Classic Levenshtein distance (unit insert/delete/substitute) — the
     * in-memory twin of Spark's and DuckDB's `levenshtein`, used by the
     * pinned-dictionary fuzzy expansion so all three paths agree. Two-row
@@ -2892,6 +2951,137 @@ final class QueryEngine(
                   orMode: Boolean = false): DataFrame =
     contractFrame(querySet.map { case (qid, qtext) =>
       qid -> topKImpl(qtext, k, rounded = true, orMode = orMode)
+    })
+
+  /** Synonym-group retrieval (Lucene SynonymQuery semantics): `a|b`
+    * pieces score as ONE pseudo-term — tf summed across members,
+    * df = max member df — AND-composed with the query's other pieces.
+    * Member postings merge at query prep into synthetic block-max
+    * segments ([[QueryEngine.mergeGroupSegments]]), so the ordinary
+    * conjunctive kernel runs unchanged and a pipe-free query is
+    * IDENTICAL to [[topK]] (singleton group ≡ plain term; spec-pinned).
+    * Paths: driver-local / pooled below the caps (each pooled shard
+    * merges its own docID slice), the distributed range path beyond
+    * them (each range task merges its slice — member postings ship to
+    * range tasks exactly like plain terms, no driver materialization). */
+  def topKSyn(qtext: String, k: Int = Bm25.K,
+              rounded: Boolean = true): DataFrame = {
+    val empty = Seq.empty[(Long, Double)].toDF("docID", "score")
+    val groups = Analyzer.synGroups(qtext)
+    if (groups.isEmpty) return empty
+    val memberTerms = groups.flatten.distinct.sorted
+    val perDir = lookupPerDir(memberTerms)
+    val combinedDf: Map[String, Long] =
+      perDir.flatten.groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    // (name, present members, dfG, merge volume); a fully absent group
+    // is an unmatchable conjunct → ∅
+    val resolved: Seq[(String, Array[String], Long, Long)] = groups.map { g =>
+      val present = g.filter(combinedDf.contains)
+      if (present.isEmpty) return empty
+      (g.mkString("|"), present.toArray,
+        present.map(combinedDf).max, present.map(combinedDf).sum)
+    }
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val termCtx = resolved
+      .map { case (nm, _, dfG, _) => TermCtx(nm, dfG, Bm25.idf(n, dfG)) }
+      .sortBy(_.term).toArray
+    val wandFn = QueryEngine.kernel(null, 0, orMode = false,
+      null, Array.empty[String])
+    val totalDf = resolved.map(_._4).sum
+    val specs = resolved.map { case (nm, ms, dfG, _) => (nm, ms, dfG) }
+
+    // ---- driver-local / pooled path (same caps as topKImpl) ----------
+    if (normsBc.isDefined && localWandUpTo > 0 &&
+        totalDf <= math.max(localWandUpTo, localParallelCap)) {
+      val byReal = synchronized { localSegsFor(memberTerms, perDir) }
+      val norms = normsBc.get.value
+      val hits: Seq[ScoredDoc] =
+        if (totalDf <= localWandUpTo)
+          wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.apply,
+              avgdl, 0L, Long.MaxValue), termCtx,
+            norms.apply, avgdl, 0L, Long.MaxValue, k, rounded)
+        else {
+          val nr = math.max(1L, math.min(4L * localThreads,
+            math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
+          val rsz = math.max(1L, (stats.maxDoc + nr) / nr)
+          (0 until nr).map { r =>
+            localPool.submit(new java.util.concurrent.Callable[Seq[ScoredDoc]] {
+              def call(): Seq[ScoredDoc] =
+                wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.apply,
+                    avgdl, r * rsz, (r + 1L) * rsz),
+                  termCtx, norms.apply, avgdl, r * rsz, (r + 1L) * rsz,
+                  k, rounded)
+            })
+          }.flatMap(_.get())
+        }
+      val ordered =
+        (if (rounded) hits.map(h => ScoredDoc(h.docID, QueryEngine.r4(h.score)))
+         else hits)
+          .sortBy(h => (-h.score, h.docID)).take(k)
+      return ordered.map(h => (h.docID, h.score)).toDF("docID", "score")
+    }
+
+    // ---- distributed range path --------------------------------------
+    val ranges = math.max(1L, math.min(numRanges.toLong,
+      totalDf / 100_000L + 1)).toInt
+    val rs = math.max(1L, (stats.maxDoc + ranges) / ranges)
+    val segs = indexDirs.zip(perDir)
+      .filter(_._2.nonEmpty)
+      .map { case (dir, es) =>
+        segmentsOf(dir, es.map(_.term), es.map(_.bucket).distinct)
+      }
+      .reduce(_ union _)
+    val ranged = segs.flatMap { s =>
+      val loR = (s.minDoc / rs).toInt
+      val hiR = (s.maxDoc / rs).toInt
+      (loR to hiR).map(r => RangedSeg(r, s))
+    }
+    val tc = termCtx
+    val av = avgdl
+    val wf = wandFn
+    val sp = specs
+    val rnd = rounded
+    val local: org.apache.spark.sql.Dataset[ScoredDoc] = normsBc match {
+      case Some(bc) =>
+        ranged.groupByKey(_.rangeId).flatMapGroups { (rid, it) =>
+          val byReal = it.map(_.seg).toArray.groupBy(_.term)
+            .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+          val lo = rid.toLong * rs
+          val norms = bc.value
+          wf(QueryEngine.mergeAllGroups(sp, byReal, norms.apply, av, lo, lo + rs),
+            tc, norms.apply, av, lo, lo + rs, k, rnd).iterator
+        }
+      case None =>
+        val normsByRange = allDocStats.groupByKey(d => (d.docID / rs).toInt)
+        ranged.groupByKey(_.rangeId).cogroup(normsByRange) { (rid, segIt, dsIt) =>
+          val segArr = segIt.map(_.seg).toArray
+          if (segArr.isEmpty) Iterator.empty
+          else {
+            val byReal = segArr.groupBy(_.term)
+              .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
+            val norms = dsIt.map(d => d.docID -> d.len).toMap
+            val lo = rid.toLong * rs
+            wf(QueryEngine.mergeAllGroups(sp, byReal, norms.apply, av, lo, lo + rs),
+              tc, norms.apply, av, lo, lo + rs, k, rnd).iterator
+          }
+        }
+    }
+    if (rounded)
+      local.toDF()
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docID").asc)
+        .limit(k)
+    else
+      local.toDF()
+        .orderBy(col("score").desc, col("docID").asc)
+        .limit(k)
+  }
+
+  /** Driver-contract frame over the fixed SYNONYM query set. */
+  def topKAllSyn(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.SynQuerySet.map { case (qid, qtext) =>
+      qid -> topKSyn(qtext, k)
     })
 
   /** Driver-contract frame for PAGE 2 of the fixed query set: for each

