@@ -415,8 +415,23 @@ object Bench {
         }.sorted
         ts(ts.length / 2)
       }.sorted
+      // synonym-group latency: per-query posting merge (tf-summed
+      // pseudo-term) + the ordinary conjunctive kernel — the merge is
+      // the honest per-query cost of a disjunction, expect ~OR parity
+      Bm25.SynQuerySet.foreach { case (_, q) =>
+        engine.topKSyn(q).collect()
+      }
+      val ylats = Bm25.SynQuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKSyn(q).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
       f""""msm_p50_ms":${mpct(mlats, 0.5)}%.3f,"sorted_p50_ms":${mpct(slats, 0.5)}%.3f,""" +
-      f""""wildcard_p50_ms":${mpct(wclats, 0.5)}%.3f,"histogram_p50_ms":${mpct(hlats, 0.5)}%.3f,"""
+      f""""wildcard_p50_ms":${mpct(wclats, 0.5)}%.3f,"histogram_p50_ms":${mpct(hlats, 0.5)}%.3f,""" +
+      f""""syn_p50_ms":${mpct(ylats, 0.5)}%.3f,"""
     }
 
     // hybrid + ANN latency (peak child only): the 6-query hybrid RRF
@@ -653,7 +668,7 @@ object Bench {
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
         "count_p50_ms", "count_p95_ms", "msm_p50_ms", "sorted_p50_ms",
-        "wildcard_p50_ms", "histogram_p50_ms",
+        "wildcard_p50_ms", "histogram_p50_ms", "syn_p50_ms",
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",

@@ -113,6 +113,18 @@ object Explain {
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topKWildcard("ow"))
 
+    show("synonym-group query (distributed range path, physical)",
+      "Expect: the pruned segments scan (PushedFilters In(term, " +
+        "[members...])) into ONE groupByKey Exchange keyed by docID " +
+        "range — each range task k-way merges its own slice of the " +
+        "group members' postings into a synthetic block-max pseudo-term " +
+        "(tf summed, df = max) and runs the ordinary conjunctive " +
+        "kernel; one TakeOrderedAndProject. Below the caps the query " +
+        "never reaches a plan at all (driver-local merge + kernel, " +
+        "LocalTableScan), which is the common case.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topKSyn("hash|join table"))
+
     show("length-histogram aggregation (relational fallback, artifact-side)",
       "Expect: NO corpus scan — the tf artifact scan carries " +
         "PushedFilters In(term, [...]) (term-pruned row groups); one " +
