@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Crawl, Dedup, Hybrid, Index, Media, Metrics, QueryEngine, Similarity, Snippets, SubstringSearch, TextStats}
+import graft.operators.{Bm25, Crawl, Dedup, Hybrid, Index, Media, Metrics, QueryEngine, SigTerms, Similarity, Snippets, SubstringSearch, TextStats}
 import graft.streaming.{Events, IncrementalIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -345,6 +345,16 @@ object SparkEntry {
     "bm25_syn_oracle" -> ((s, dir) => Bm25.oracleSynTopK(s, dir)),
     "bm25_syn_indexed" -> ((s, dir) => indexedSynTopK(s, dir)),
 
+    // -- significant terms of each query's top-100 sample (ES
+    //    significant_terms under a sampler: log lift vs corpus df)
+    "sig_terms" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      val eng = new QueryEngine(s, Seq(indexDir))
+      SigTerms.significantTerms(s, dir,
+        (q, n) => eng.topK(q, n, rounded = true))
+    }),
+
     // -- exact-phrase BM25 over the positional index
     "bm25_phrase_oracle" -> ((s, dir) => Bm25.oraclePhraseTopK(s, dir)),
     "bm25_phrase_indexed" -> ((s, dir) => indexedPhraseTopK(s, dir)),
@@ -582,6 +592,7 @@ object SparkEntry {
     "bm25f_topk_indexed" -> Bm25.oracleSqlFieldedTopK(),
     "bm25_syn_oracle" -> Bm25.oracleSqlSynTopK(),
     "bm25_syn_indexed" -> Bm25.oracleSqlSynTopK(),
+    "sig_terms" -> SigTerms.oracleSql(),
     "bm25_phrase_oracle" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_indexed" -> Bm25.oracleSqlPhraseTopK(),
     "bm25_phrase_filtered_oracle" -> Bm25.oracleSqlPhraseTopK(langFilter = "en"),

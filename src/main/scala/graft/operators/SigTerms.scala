@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Corpus
+import graft.functions.Analyzer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Significant-terms aggregation of a query's result sample — the
+  * ES `significant_terms` aggregation under its `sampler` parent, the
+  * "what is this result set ABOUT" facet of a search service. (The
+  * reference engine has no aggregations at all; its result is a bare
+  * row list, `src/searcher/searcher.cpp:16`.)
+  *
+  * Semantics (deterministic, oracle-gated):
+  *   - foreground = the top-[[SampleSize]] ranked docs of the query
+  *     (the ordinary rounded BM25 ranking with its docID tie-break —
+  *     the exact page-1..10 contract, so the sample is reproducible
+  *     anywhere, unlike ES's per-shard first-N sample);
+  *   - for every term of a sample doc (the query's own terms excluded):
+  *     fg_df = sample docs containing it, bg_df = corpus df;
+  *   - score = round4( ln( (fg_df / S) / (bg_df / N) ) ) — the log
+  *     lift of the term in the sample over the corpus;
+  *   - top [[TopTerms]] per query by (score desc, term asc).
+  *
+  * Scale shape: the sample is BOUNDED (S docs) by construction —
+  * fetch-by-id rides parquet `In(doc_id, ...)` pushdown (the snippet
+  * path's proven shape), one tokenize pass over S docs per query, and
+  * the background df comes from the index's own dictionary artifact
+  * (relationally: the dfr frame) — never a corpus pass per query. This
+  * is the sampler-aggregation answer to significant-terms over an
+  * unbounded match set, whose exact form is corpus-shaped for stop-word
+  * queries (ES samples for the same reason).
+  */
+object SigTerms {
+
+  /** Foreground sample size (the ranked page the aggregation reads). */
+  val SampleSize = 100
+
+  /** Terms reported per query. */
+  val TopTerms = 5
+
+  /** (query, rank, term, fg_df, score) over the fixed query set; a
+    * query with no matches (q05) contributes no rows. `topK` supplies
+    * the ranked sample — the indexed engine in production, the brute
+    * oracle in the twin, both bound to the same ranking contract. */
+  def significantTerms(spark: SparkSession, sfDir: String,
+                       topK: (String, Int) => DataFrame): DataFrame = {
+    val docs = Corpus.docs(spark, sfDir)
+    val tf = Bm25.termFreq(docs).cache()
+    val dfr = Bm25.docFreq(tf)
+    val stats = Bm25.corpusStats(Bm25.docLengths(tf))
+
+    val perQuery = Bm25.QuerySet.map { case (qid, qtext) =>
+      val sample = topK(qtext, SampleSize)
+        .select(col("docID").cast("long"))
+        .collect().map(_.getLong(0)) // bounded: ≤ SampleSize ids
+      val qTerms = Analyzer.queryTerms(qtext)
+      val fg = docs.filter(col("docID").isin(sample.toIndexedSeq: _*))
+        .select(col("docID"),
+          explode(array_distinct(Analyzer.tokensCol(col("content"))))
+            .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("fg_df"))
+        .filter(!col("term").isin(qTerms: _*))
+      val score = round(
+        log((col("fg_df").cast("double") / lit(SampleSize)) /
+          (col("df").cast("double") / col("n"))), 4)
+      fg.join(dfr, "term").crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rank") <= TopTerms)
+        .select(lit(qid).as("query"), col("rank").cast("int").as("rank"),
+          col("term"), col("fg_df"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** DuckDB twin: the AND twin's scored CTE ranks the sample (rank ≤ S
+    * with the identical rounded ranking), DISTINCT (doc, term) counts
+    * the foreground, dfr supplies the background, and the same log-lift
+    * rounds and ranks. */
+  def oracleSql(): String = {
+    val s = SampleSize
+    val t = TopTerms
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = Bm25.QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(x => s"'$x'").mkString(", ")
+      val cs = terms.zipWithIndex.map { case (x, i) =>
+        s"max(CASE WHEN term = '$x' THEN contrib END) AS c$i"
+      }.mkString(", ")
+      val scoreExpr = terms.indices.map(i => s"c$i").mkString(" + ")
+      val liftExpr =
+        s"ln((CAST(fg_df AS DOUBLE) / $s) / (CAST(df AS DOUBLE) / stats.n))"
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, term, fg_df, score FROM (
+         |  SELECT term, fg_df, round($liftExpr, 4) AS score,
+         |         row_number() OVER (ORDER BY round($liftExpr, 4) DESC, term ASC) AS rank
+         |  FROM (
+         |    SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+         |    FROM (SELECT DISTINCT docID, term FROM tok WHERE docID IN (
+         |      SELECT docID FROM (
+         |        SELECT docID,
+         |               row_number() OVER (ORDER BY round($scoreExpr, 4) DESC, docID ASC) AS r
+         |        FROM (
+         |          SELECT docID, $cs
+         |          FROM scored WHERE term IN ($inList)
+         |          GROUP BY docID
+         |          HAVING count(*) = ${terms.size}
+         |        )
+         |      ) WHERE r <= $s
+         |    ))
+         |    GROUP BY term
+         |  ) JOIN dfr USING (term) CROSS JOIN stats
+         |  WHERE term NOT IN ($inList)
+         |) WHERE rank <= $t)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+}

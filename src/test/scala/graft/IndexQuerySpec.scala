@@ -1491,6 +1491,28 @@ class IndexQuerySpec extends AnyFunSuite {
     } finally rangePath.close()
   }
 
+  test("significant terms: sampler invariants hold over the fixed set") {
+    built
+    import graft.operators.SigTerms
+    val rows = SigTerms.significantTerms(spark, sfDir,
+      (q, n) => engine.topK(q, n, rounded = true)).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getString(0))
+    // absent-term query contributes nothing; every present query ≤ TopTerms
+    assert(!byQ.contains("q05"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= SigTerms.TopTerms, q)
+      // the query's own terms are excluded from its significant terms
+      val qTerms = graft.functions.Analyzer
+        .queryTerms(Bm25.QuerySet.toMap.apply(q)).toSet
+      assert(rs.forall(r => !qTerms(r.getString(2))), q)
+      // fg_df bounded by the sample, positive; ranks are 1..m
+      assert(rs.forall(r => r.getLong(3) >= 1 &&
+        r.getLong(3) <= SigTerms.SampleSize), q)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), q)
+    }
+  }
+
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
     built
     val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))

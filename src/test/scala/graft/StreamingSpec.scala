@@ -57,6 +57,12 @@ class StreamingSpec extends AnyFunSuite {
     val ao = merged.topKAll(orMode = true).collect().map(_.toSeq).toSeq
     val bo = oneShot.topKAll(orMode = true).collect().map(_.toSeq).toSeq
     assert(ao == bo)
+    // synonym groups across constituent indexes: member df sums across
+    // the disjoint deltas BEFORE the group max, so the pseudo-term's
+    // df/idf equal the one-shot index's
+    val as = merged.topKAllSyn().collect().map(_.toSeq).toSeq
+    val bs = oneShot.topKAllSyn().collect().map(_.toSeq).toSeq
+    assert(as == bs, "LSM synonym result must equal the one-shot index")
   }
 
   test("compaction of deltas == one-shot build (rank-identical, same stats)") {
