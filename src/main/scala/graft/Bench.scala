@@ -209,10 +209,9 @@ object Bench {
     // ONCE — the steady-state shape for a query node serving a
     // facet-heavy workload (per-query resolve would re-pay one Spark job)
     val filteredJson = if (!phrase) "" else {
-      val allowed = spark.read.parquet(s"$corpusDir/documents.parquet")
-        .filter(col("lang") === "en")
-        .select(col("doc_id").cast("long").as("docID"))
-      val facet = engine.prepareFilter(allowed)
+      // facet prep from the index's own keyword doc-values artifact —
+      // the corpus is never touched (the 100 TB facet shape)
+      val facet = engine.prepareLangFacet("en")
       Bm25.QuerySet.foreach { case (_, q) =>
         engine.topKFiltered(q, facet, Bm25.K, rounded = true, orMode = false).collect()
       }

@@ -69,12 +69,13 @@ object Explain {
       "Expect: IDENTICAL plan to the unfiltered scan path — the filter " +
         "rides the closure as a sorted-array broadcast gate checked " +
         "inside the WAND kernel at the aligned candidate (before top-k " +
-        "pruning), adding zero operators and zero Exchange.",
+        "pruning), adding zero operators and zero Exchange. The gate's " +
+        "allowed set resolved from the index's OWN keyword doc-values " +
+        "artifact (docvals), never the corpus.",
       {
         val eng = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
-        eng.topKFiltered("hash join",
-          Corpus.docs(spark, sfDir).filter(col("lang") === "en")
-            .select(col("docID")))
+        eng.topKFiltered("hash join", eng.prepareLangFacet("en"),
+          Bm25.K, rounded = false, orMode = false)
       })
 
     val posDir = "/tmp/graft/explain_index_pos"

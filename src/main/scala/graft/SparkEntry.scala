@@ -30,14 +30,16 @@ object SparkEntry {
 
   /** Faceted retrieval: the full query set restricted to one lang facet
     * (scoring stats stay corpus-global; the gate applies inside the WAND
-    * kernel, before top-k pruning — see QueryEngine.topKFiltered). */
+    * kernel, before top-k pruning). The allowed set comes from the
+    * index's OWN keyword doc-values artifact
+    * (QueryEngine.prepareLangFacet) — facet prep never scans the
+    * corpus, the 100 TB-honest shape. */
   def indexedTopKFiltered(spark: SparkSession, sfDir: String,
                           lang: String): DataFrame = {
     val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir)
-    val allowed = Corpus.docs(spark, sfDir)
-      .filter(col("lang") === lang).select(col("docID"))
-    new QueryEngine(spark, Seq(indexDir)).topKAllFiltered(allowed)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    eng.topKAllFiltered(eng.prepareLangFacet(lang), Bm25.K, orMode = false)
   }
 
   /** Boolean-NOT retrieval: the fixed NOT query set, negated terms
@@ -150,10 +152,9 @@ object SparkEntry {
     val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir)
     val eng = new QueryEngine(spark, Seq(indexDir))
-    val docs = Corpus.docs(spark, sfDir)
-    val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
-    val facets = langs.map(l =>
-      l -> eng.prepareFilter(docs.filter(col("lang") === l).select(col("docID"))))
+    // facet vocabulary AND per-value gates from the index's own keyword
+    // doc-values artifact — facet navigation never scans the corpus
+    val facets = eng.langFacetValues().map(l => l -> eng.prepareLangFacet(l))
     val rows = for {
       (qid, q) <- Bm25.QuerySet
       (lang, facet) <- facets
@@ -215,9 +216,8 @@ object SparkEntry {
     val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir,
       Index.BuildParams(storePositions = true))
-    val allowed = Corpus.docs(spark, sfDir)
-      .filter(col("lang") === lang).select(col("docID"))
-    new QueryEngine(spark, Seq(indexDir)).topKAllPhraseFiltered(allowed)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    eng.topKAllPhraseFiltered(eng.langFacetDocs(lang))
   }
 
   /** Unified search-box queries — ONE raw string per query mixing bare
@@ -232,17 +232,17 @@ object SparkEntry {
 
   /** Field-faceted search-box queries: the mixed grammar plus one
     * `lang:value` facet piece per query string, resolved to a prepared
-    * Facet gate over the corpus's lang metadata (content-keyed broadcast
-    * LRU — repeated field values reship nothing). */
+    * Facet gate over the index's keyword doc-values artifact
+    * (content-keyed broadcast LRU — repeated field values reship
+    * nothing; the corpus is never scanned). */
   def indexedSearchFieldTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val indexDir = "/tmp/graft/index_pos_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     Index.build(spark, sfDir, indexDir,
       Index.BuildParams(storePositions = true))
     val eng = new QueryEngine(spark, Seq(indexDir))
-    val docs = Corpus.docs(spark, sfDir)
     val resolver = (f: String, v: String) => {
       require(f == "lang", s"unknown field: $f")
-      eng.prepareFilter(docs.filter(col("lang") === v).select(col("docID")))
+      eng.prepareLangFacet(v) // index-side doc-values, no corpus access
     }
     eng.searchFieldAll(resolver)
   }

@@ -20,6 +20,7 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Layout on disk (all Iceberg-shaped partitioned Parquet):
   *   indexDir/tf          (docID, term, tf)            stage "tf"
+  *   indexDir/docvals     (docID, lang)                stage "tf"
   *   indexDir/docstats    (docID, len)                 stage "docstats"
   *   indexDir/stats       (n, avgdl, maxDoc) 1 row     stage "docstats"
   *   indexDir/dictionary  (term, df, bucket)           stage "dictionary"
@@ -141,7 +142,7 @@ object Index {
     * build() skip stages and then fail at query time on missing columns
     * (ADVICE r1). Version 2 = blockMaxTf/blockMinLen block directory +
     * minDoc/sumLen corpus stats + optional positions. */
-  val FormatVersion = "2"
+  val FormatVersion = "3"
 
   /** Stamp (or validate) the format version of an index dir. A missing
     * or mismatched version means "stale persistent dir": all resume
@@ -238,6 +239,16 @@ object Index {
       val tf0 = if (p.storePositions) Bm25.termFreqWithPositions(docs)
                 else Bm25.termFreq(docs)
       tf0.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
+      // keyword doc-values side table: (docID, lang) from a column-pruned
+      // second pass over the source (2 tiny columns — no re-tokenize).
+      // Facet prep reads THIS artifact, never the corpus
+      // (QueryEngine.prepareLangFacet); sorted by (lang, docID) so a
+      // facet-value filter prunes parquet row groups and the gate array
+      // arrives docID-sorted per value.
+      docs.select(col("docID"), col("lang"))
+        .repartitionByRange(p.partitions, col("lang"), col("docID"))
+        .sortWithinPartitions(col("lang"), col("docID"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docvals")
       val lin = spark.read.parquet(s"$indexDir/tf")
         .groupBy(spark_partition_id().as("partitionId"))
         .agg(count(lit(1)).as("rowCount"), sum(col("tf")).as("tokenCount"))
@@ -593,6 +604,11 @@ object Index {
     import spark.implicits._
     spark.read.parquet(s"$indexDir/docstats").as[DocStat]
   }
+
+  /** Keyword doc-values artifact (docID, lang) — the facet-prep source
+    * (the index answers its own facets; the corpus is never touched). */
+  def readDocVals(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docvals")
 
   def readLineage(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/lineage")

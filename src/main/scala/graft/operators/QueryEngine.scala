@@ -2183,6 +2183,32 @@ final class QueryEngine(
       .select(col("docID")))
   }
 
+  /** Doc-values KEYWORD facet — the search-service `lang:value` filter
+    * resolved from the index's OWN docvals artifact, no corpus access
+    * (the Lucene keyword doc-values filter; the len twin is
+    * [[prepareLenRange]]). The artifact is written (lang, docID)-sorted,
+    * so the equality predicate prunes parquet row groups and the gate
+    * ids arrive docID-sorted. Resolves through [[prepareFilter]] — the
+    * full gate/complement/postFilter cap ladder — so it composes with
+    * every gated surface. A deployment faceting a different keyword
+    * column (source, license, mime) wires it through this same shape. */
+  def prepareLangFacet(lang: String): Facet =
+    prepareFilter(langFacetDocs(lang))
+
+  /** The allowed-docID frame behind [[prepareLangFacet]] — exposed for
+    * surfaces that resolve their own filter ladder (phrase facets). */
+  def langFacetDocs(lang: String): DataFrame =
+    indexDirs.map(d => Index.readDocVals(spark, d)).reduce(_ unionAll _)
+      .filter(col("lang") === lang).select(col("docID"))
+
+  /** Distinct facet values of the keyword doc-values column, ascending —
+    * the facet-navigation vocabulary, from the index's own artifact. */
+  def langFacetValues(): Seq[String] = {
+    import spark.implicits._
+    indexDirs.map(d => Index.readDocVals(spark, d)).reduce(_ unionAll _)
+      .select(col("lang")).distinct().as[String].collect().sorted.toSeq
+  }
+
   /** Doc→length-bucket [[Groups]] for [[lenHistogram]]: bucket =
     * ⌊len/width⌋ over the index's own docStats doc-values column,
     * prepared ONCE and reused across queries (like a facet gate).

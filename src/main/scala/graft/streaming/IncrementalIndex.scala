@@ -133,6 +133,25 @@ object IncrementalIndex {
         .repartition(p.partitions)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/tf")
+      // keyword doc-values union rides the same disjoint-docID argument
+      // as tf (and the same tombstone anti-join)
+      val dv = dirs.map(d => spark.read.parquet(s"$d/docvals"))
+        .reduce(_ unionByName _)
+      tombstoned.map { t =>
+        dv.join(
+          org.apache.spark.sql.functions.broadcast(
+            t.select(org.apache.spark.sql.functions.col("docID")
+              .cast("long").as("docID")).distinct()),
+          Seq("docID"), "left_anti")
+      }.getOrElse(dv)
+        .repartitionByRange(p.partitions,
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("docID"))
+        .sortWithinPartitions(
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("docID"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/docvals")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/_done_tf"), Array.emptyByteArray)
     }

@@ -1513,6 +1513,25 @@ class IndexQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("keyword doc-values facet == corpus-derived facet; unknown value is empty") {
+    built
+    val corpusAllowed = Corpus.docs(spark, sfDir)
+      .filter(col("lang") === "en").select(col("docID"))
+    for ((_, qtext) <- Bm25.QuerySet.take(4)) {
+      assert(collectTopK(engine.topKFiltered(qtext,
+          engine.prepareLangFacet("en"), Bm25.K, rounded = false,
+          orMode = false)) ==
+        collectTopK(engine.topKFiltered(qtext, corpusAllowed)), s"'$qtext'")
+    }
+    // the artifact's facet vocabulary is exactly the corpus's
+    val corpusLangs = Corpus.docs(spark, sfDir).select(col("lang"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(engine.langFacetValues() == corpusLangs)
+    assert(collectTopK(engine.topKFiltered("window",
+      engine.prepareLangFacet("zz"), Bm25.K, rounded = false,
+      orMode = false)).isEmpty)
+  }
+
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
     built
     val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))
