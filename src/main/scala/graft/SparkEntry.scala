@@ -514,6 +514,9 @@ object SparkEntry {
     "url_priority" -> ((s, dir) => Crawl.urlPriority(s, dir)),
     "extract_text" -> ((s, dir) => Crawl.extractTextParity(s, dir)),
     "extract_links" -> ((s, dir) => Crawl.extractLinksParity(s, dir)),
+
+    // -- PageRank over the extracted link graph (10 BSP rounds, d=0.85)
+    "link_pagerank" -> ((s, dir) => graft.operators.LinkGraph.pageRank(s, dir)),
     "crawl_order" -> ((s, dir) => Crawl.crawlOrder(s, dir, dumpOracle = true)),
 
     // -- S3/P5: fetch-with-retry ladder over the synthetic status table
@@ -662,6 +665,7 @@ object SparkEntry {
     "url_priority" -> Crawl.urlPrioritySql,
     "extract_text" -> Crawl.extractTextSql,
     "extract_links" -> Crawl.extractLinksSql,
+    "link_pagerank" -> graft.operators.LinkGraph.oracleSql(),
     // the crawl wave loop, UNROLLED over the materialized link graph —
     // every entry now has a DuckDB gate (hash kernels via OracleSide)
     "crawl_order" -> Crawl.crawlOrderSql(),

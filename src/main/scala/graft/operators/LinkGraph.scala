@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl tier's extracted links — the
+  * web-search ranking signal the reference's crawler + LIKE searcher
+  * never computes (its frontier priority is keyword heuristics only,
+  * reference `src/crawler/crawler.cpp` URL scoring). PageRank here is
+  * the classic iterative Spark workload: edges and ranks co-keyed,
+  * T bulk-synchronous join+aggregate rounds.
+  *
+  * Edge derivation: [[Crawl.extractLinksParity]]'s synthetic pages link
+  * every doc d to (d+1) mod n and (7d+3) mod n (the "next"/"hub"
+  * anchors; junk hrefs are filtered by the parity port). The dst docID
+  * is recovered from the normalized URL's `docK.html` tail. Edges are
+  * DISTINCT (the two anchors can coincide); self-loops are kept
+  * (standard PageRank tolerates them; deterministic either way).
+  *
+  * Rank recurrence (damping d = 0.85, T = [[Iterations]]):
+  *   r_0(v) = 1/N;  r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u)
+  * Every node has outdeg ≥ 1 by construction, so no dangling-mass term.
+  * FP parity with the DuckDB twin holds exactly: in-degree is ≤ 2
+  * (7 is invertible mod n), so every per-node sum has ≤ 2 addends —
+  * commutative, association-free — and all other ops are identical
+  * scalar expressions.
+  *
+  * Scale shape: each iteration is one shuffle of the edge-contribution
+  * frame keyed by dst (the Pregel/GraphX BSP round). Ranks and out-
+  * degrees stay docID-keyed throughout, so AQE coalesces the tiny
+  * frames at sandbox scale while the same plan hash-partitions evenly
+  * at web scale; the output is top-[[TopK]] only.
+  */
+object LinkGraph {
+
+  val Damping = 0.85
+  val Iterations = 10
+  val TopK = 20
+
+  /** (src, dst) distinct edges of the synthetic link graph, recovered
+    * from the extracted-and-normalized links (the engine-side path
+    * exercises extract → absolutize → normalize; the twin constructs
+    * the same edges independently in closed form, the crawl-parity
+    * sibling-construction pattern). */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Crawl.extractLinksParity(spark, sfDir)
+      .select(col("docID").as("src"),
+        regexp_extract(col("link"), "doc(\\d+)\\.html$", 1)
+          .cast("long").as("dst"))
+      .distinct()
+
+  /** (docID, rank, score) — the top-[[TopK]] docs by PageRank, score =
+    * round4(rank · N) (mean-normalized so 4-decimal rounding keeps
+    * resolution at any corpus size), ties broken by docID. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Corpus.docs(spark, sfDir).count()
+    val e = edges(spark, sfDir).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
+    val nodes = Corpus.docs(spark, sfDir).select(col("docID").as("id"))
+    val base = lit((1.0 - Damping) / n)
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to Iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), (col("r") / col("od")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (base + lit(Damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      // cut the 10-round lineage so the plan stays iteration-sized
+      ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+      .withColumn("score", round(col("r") * n, 4))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+          .cast("int"))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("id").as("docID"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin: edges in closed form ((d+1) mod n, (7d+3) mod n,
+    * DISTINCT), the same recurrence unrolled [[Iterations]] times as
+    * chained CTEs. */
+  def oracleSql(): String = {
+    val d = Damping
+    val iters = (1 to Iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nodes.id,
+         |         (1.0 - $d) / stats.n + $d * coalesce(s.m, 0.0) AS r
+         |  FROM nodes CROSS JOIN stats
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r / od.od) AS m
+         |    FROM edges e
+         |    JOIN $prev p ON e.src = p.id
+         |    JOIN outdeg od ON e.src = od.src
+         |    GROUP BY e.dst
+         |  ) s ON nodes.id = s.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT doc_id AS id FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS nn
+       |  FROM documents
+       |), edges AS (
+       |  SELECT DISTINCT id AS src, dst FROM (
+       |    SELECT id, (id + 1) % nn AS dst FROM nodes CROSS JOIN stats
+       |    UNION ALL
+       |    SELECT id, (7 * id + 3) % nn AS dst FROM nodes CROSS JOIN stats
+       |  )
+       |), outdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT nodes.id, 1.0 / stats.n AS r FROM nodes CROSS JOIN stats
+       |),
+       |$iters
+       |SELECT CAST(rank AS INTEGER) AS rank, docID, score FROM (
+       |  SELECT id AS docID, round(r * stats.n, 4) AS score,
+       |         row_number() OVER (ORDER BY round(r * stats.n, 4) DESC, id ASC) AS rank
+       |  FROM r$Iterations CROSS JOIN stats
+       |) WHERE rank <= $TopK ORDER BY rank""".stripMargin
+  }
+}

@@ -303,4 +303,25 @@ class CrawlParitySpec extends AnyFunSuite {
     val out2 = Crawl.crawlOrder(spark, SparkFixture.Sf0001).collect()
     assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
   }
+
+  test("link-graph PageRank: edge shape, rank invariants, determinism") {
+    import graft.operators.LinkGraph
+    val spark = SparkFixture.spark
+    val sfDir = SparkFixture.Sf0001
+    val n = graft.Corpus.docs(spark, sfDir).count()
+    val e = LinkGraph.edges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the synthetic pages link d → (d+1)%n and (7d+3)%n, nothing else
+    assert(e.toSet == (0L until n).flatMap(d =>
+      Set((d, (d + 1) % n), (d, (7 * d + 3) % n))).toSet)
+    val out1 = LinkGraph.pageRank(spark, sfDir).collect()
+    assert(out1.length == LinkGraph.TopK)
+    val scores = out1.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing in rank order")
+    // mean-normalized rank floor: every node keeps at least (1-d)
+    assert(scores.forall(_ >= (1.0 - LinkGraph.Damping) - 1e-9))
+    val out2 = LinkGraph.pageRank(spark, sfDir).collect()
+    assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
 }
