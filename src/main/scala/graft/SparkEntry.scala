@@ -517,6 +517,9 @@ object SparkEntry {
 
     // -- PageRank over the extracted link graph (10 BSP rounds, d=0.85)
     "link_pagerank" -> ((s, dir) => graft.operators.LinkGraph.pageRank(s, dir)),
+
+    // -- HITS hubs/authorities (unnormalized rounds, end max-normalize)
+    "link_hits" -> ((s, dir) => graft.operators.LinkGraph.hits(s, dir)),
     "crawl_order" -> ((s, dir) => Crawl.crawlOrder(s, dir, dumpOracle = true)),
 
     // -- S3/P5: fetch-with-retry ladder over the synthetic status table
@@ -666,6 +669,7 @@ object SparkEntry {
     "extract_text" -> Crawl.extractTextSql,
     "extract_links" -> Crawl.extractLinksSql,
     "link_pagerank" -> graft.operators.LinkGraph.oracleSql(),
+    "link_hits" -> graft.operators.LinkGraph.oracleSqlHits(),
     // the crawl wave loop, UNROLLED over the materialized link graph —
     // every entry now has a DuckDB gate (hash kernels via OracleSide)
     "crawl_order" -> Crawl.crawlOrderSql(),

@@ -83,6 +83,94 @@ object LinkGraph {
       .orderBy(col("rank"))
   }
 
+  /** (rank, docID, auth, hub) — HITS hubs & authorities over the same
+    * link graph: [[Iterations]] UNNORMALIZED power-iteration rounds
+    * (a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v); values grow ≤ 4×
+    * per round — ~10^6 after 10 rounds, nowhere near double overflow),
+    * normalized ONCE at the end by the max (order-free, unlike the
+    * usual per-round L1/L2 norm whose N-addend sum would be
+    * association-ordered and break cross-engine FP parity). Top-[[TopK]]
+    * by (auth desc, docID asc). The per-node sums have ≤ 2 addends
+    * (in-degree ≤ 2, out-degree ≤ 2), so parity with the twin is exact,
+    * as [[pageRank]]. */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(spark, sfDir).cache()
+    val nodes = Corpus.docs(spark, sfDir).select(col("docID").as("id"))
+    var h = nodes.withColumn("h", lit(1.0))
+    var a = nodes.withColumn("a", lit(1.0))
+    for (_ <- 1 to Iterations) {
+      a = nodes.join(
+          e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("a"))
+        .localCheckpoint(true)
+      h = nodes.join(
+          e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("h"))
+        .localCheckpoint(true)
+    }
+    val amax = a.agg(max(col("a"))).head().getDouble(0)
+    val hmax = h.agg(max(col("h"))).head().getDouble(0)
+    a.join(h, "id")
+      .withColumn("auth", round(col("a") / amax, 4))
+      .withColumn("hub", round(col("h") / hmax, 4))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("auth").desc, col("id").asc))
+          .cast("int"))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("id").as("docID"), col("auth"), col("hub"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of [[hits]]: the same unnormalized rounds unrolled as
+    * chained (a_i, h_i) CTE pairs, max-normalized at the end. */
+  def oracleSqlHits(): String = {
+    val iters = (1 to Iterations).map { i =>
+      s"""a$i AS (
+         |  SELECT nodes.id, coalesce(s.s, 0.0) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.h) AS s
+         |    FROM edges e JOIN h${i - 1} p ON e.src = p.id GROUP BY e.dst
+         |  ) s ON nodes.id = s.id
+         |), h$i AS (
+         |  SELECT nodes.id, coalesce(s.s, 0.0) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS id, sum(p.a) AS s
+         |    FROM edges e JOIN a$i p ON e.dst = p.id GROUP BY e.src
+         |  ) s ON nodes.id = s.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT doc_id AS id FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nn FROM documents
+       |), edges AS (
+       |  SELECT DISTINCT id AS src, dst FROM (
+       |    SELECT id, (id + 1) % nn AS dst FROM nodes CROSS JOIN stats
+       |    UNION ALL
+       |    SELECT id, (7 * id + 3) % nn AS dst FROM nodes CROSS JOIN stats
+       |  )
+       |), h0 AS (
+       |  SELECT id, 1.0 AS h FROM nodes
+       |),
+       |$iters,
+       |mx AS (
+       |  SELECT (SELECT max(a) FROM a$Iterations) AS amax,
+       |         (SELECT max(h) FROM h$Iterations) AS hmax
+       |)
+       |SELECT CAST(rank AS INTEGER) AS rank, docID, auth, hub FROM (
+       |  SELECT a.id AS docID,
+       |         round(a.a / mx.amax, 4) AS auth,
+       |         round(h.h / mx.hmax, 4) AS hub,
+       |         row_number() OVER (ORDER BY round(a.a / mx.amax, 4) DESC, a.id ASC) AS rank
+       |  FROM a$Iterations a JOIN h$Iterations h ON a.id = h.id CROSS JOIN mx
+       |) WHERE rank <= $TopK ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB twin: edges in closed form ((d+1) mod n, (7d+3) mod n,
     * DISTINCT), the same recurrence unrolled [[Iterations]] times as
     * chained CTEs. */

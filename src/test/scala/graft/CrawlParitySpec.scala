@@ -323,5 +323,11 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(scores.forall(_ >= (1.0 - LinkGraph.Damping) - 1e-9))
     val out2 = LinkGraph.pageRank(spark, sfDir).collect()
     assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+    // HITS: top-k shape, max-normalized scores in (0, 1], rank 1 at 1.0
+    val ht = LinkGraph.hits(spark, sfDir).collect()
+    assert(ht.length == LinkGraph.TopK)
+    assert(ht.head.getDouble(2) == 1.0, "rank-1 authority must be the max")
+    assert(ht.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0 &&
+      r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
 }
