@@ -438,6 +438,14 @@ object SparkEntry {
     // -- per-length-bucket match histogram (one-pass grouped counting)
     "len_histogram" -> ((s, dir) => indexedLenHistogram(s, dir)),
 
+    // -- exact nearest-rank len percentiles of each match set (ES
+    //    percentiles agg; value-distribution resolve, no global sort)
+    "len_percentiles" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).lenPercentilesAll()
+    }),
+
     // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
     "bm25_fuzzy_indexed" -> ((s, dir) => indexedFuzzyTopK(s, dir)),
@@ -612,6 +620,7 @@ object SparkEntry {
     "bm25_wildcard_oracle" -> Bm25.oracleSqlWildcardTopK(),
     "bm25_wildcard_indexed" -> Bm25.oracleSqlWildcardTopK(),
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
+    "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),

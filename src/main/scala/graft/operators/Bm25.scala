@@ -2130,6 +2130,47 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, bucket"
   }
 
+  /** DuckDB twin of the `len_percentiles` entry (QueryEngine
+    * .lenPercentilesAll): exact nearest-rank — the len at sorted
+    * position ceil(p·cnt) of each match set, (len, docID)-ordered.
+    * The rank product is the same IEEE double on both engines, so both
+    * land on the same position. The twin may use a plain row_number
+    * (DuckDB is single-node); the engine resolves the rank from the
+    * value DISTRIBUTION instead (no global sort — see the scaladoc
+    * there). */
+  def oracleSqlLenPercentiles(ps: Seq[Double]): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |)""".stripMargin
+    val ordCtes = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""o_$qid AS (
+         |  SELECT dl.len, dl.docID,
+         |         row_number() OVER (ORDER BY dl.len, dl.docID) AS rn,
+         |         CAST(count(*) OVER () AS BIGINT) AS cnt
+         |  FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |        GROUP BY docID HAVING count(*) = ${terms.size}) m
+         |  JOIN dl USING (docID)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val perCell = QuerySet.flatMap { case (qid, _) =>
+      ps.map { p =>
+        s"""(SELECT '$qid' AS query, CAST($p AS DOUBLE) AS p, len
+           | FROM o_$qid
+           | WHERE rn = greatest(1, CAST(ceil($p * cnt) AS BIGINT)))""".stripMargin
+      }
+    }.mkString("\n UNION ALL \n")
+    s"$base,\n$ordCtes\nSELECT * FROM (\n$perCell\n) ORDER BY query, p"
+  }
+
   /** DuckDB twin of [[oracleWildcardTopK]]: the prefix twin with the
     * expansion predicate swapped to `term LIKE '%frag%'` (fragments are
     * analyzer tokens — alphanumeric only, no LIKE metacharacters), same

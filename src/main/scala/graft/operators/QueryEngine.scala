@@ -341,6 +341,9 @@ object QueryEngine {
         saltThreshold = Long.MaxValue)).toArray
   }
 
+  /** Fixed percentile set of the `len_percentiles` entry. */
+  val PercentileSet: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+
   /** [[mergeGroupSegments]] over every group of a synonym query:
     * `specs` = (pseudoName, present members, group df). Groups whose
     * merge is empty in [lo, hi) are OMITTED (unmatchable conjunct —
@@ -2315,6 +2318,59 @@ final class QueryEngine(
       lenHistogram(q, groups).map { case (b, n) => (qid, b, n) }
     }.toDF("query", "bucket", "n_docs").orderBy(col("query"), col("bucket"))
   }
+
+  /** EXACT length percentiles of a query's match set — the ES
+    * `percentiles` aggregation over a doc-values column, computed
+    * nearest-rank (the len at sorted position ceil(p·cnt); IEEE
+    * double product on both engines, so the twin lands on the same
+    * rank). NO global sort: the match set reduces to its VALUE
+    * DISTRIBUTION (one groupBy(len) — output bounded by the doc-values
+    * domain cardinality, ~90 distinct lengths here, never the match
+    * count) and the rank is resolved by a driver-side cumulative walk
+    * of that tiny frame. A naive row_number window over the match set
+    * would single-partition corpus-sized matches (the pack_sequences
+    * lesson); this shape shuffles only (len, count) rows. */
+  def lenPercentilesRelational(qtext: String,
+                               ps: Seq[Double] = QueryEngine.PercentileSet,
+                               orMode: Boolean = false): Seq[(Double, Long)] = {
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return Nil
+    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
+      .reduce(_ unionAll _)
+      .filter(col("term").isin(terms: _*))
+    val matches =
+      if (orMode) tf.select(col("docID")).distinct()
+      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size).select(col("docID"))
+    val dist = matches
+      .join(allDocStats.select(col("docID"), col("len")), "docID")
+      .groupBy(col("len")).agg(count(lit(1)).as("c"))
+      .orderBy(col("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = dist.iterator.map(_._2).sum
+    if (cnt == 0) return Nil
+    ps.map { p =>
+      val r = math.max(1L, math.ceil(p * cnt).toLong)
+      var cum = 0L
+      var ans = dist.last._1
+      var i = 0
+      var found = false
+      while (i < dist.length && !found) {
+        cum += dist(i)._2
+        if (cum >= r) { ans = dist(i)._1; found = true }
+        i += 1
+      }
+      (p, ans)
+    }
+  }
+
+  /** Driver-contract frame over the fixed AND query set: (query, p,
+    * len) — exact nearest-rank length percentiles of each match set;
+    * a query with no matches contributes no rows. */
+  def lenPercentilesAll(): DataFrame =
+    Bm25.QuerySet.flatMap { case (qid, q) =>
+      lenPercentilesRelational(q).map { case (p, l) => (qid, p, l) }
+    }.toDF("query", "p", "len").orderBy(col("query"), col("p"))
 
   /** Sort-by-field retrieval — the search-service "sort by a doc-values
     * column, not by relevance" mode: the k docs matching ALL query terms

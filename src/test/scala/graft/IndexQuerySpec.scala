@@ -1532,6 +1532,29 @@ class IndexQuerySpec extends AnyFunSuite {
       orMode = false)).isEmpty)
   }
 
+  test("len percentiles: nearest-rank exactness vs an in-test sort; monotone in p") {
+    built
+    // independent oracle: collect the match set's lens and index directly
+    val q = "window"
+    val terms = graft.functions.Analyzer.queryTerms(q)
+    val lens = Corpus.docs(spark, sfDir)
+      .select(col("docID"), graft.functions.Analyzer.tokensCol(col("content")).as("ts"))
+      .collect()
+      .filter(r => terms.forall(t =>
+        r.getSeq[String](1).contains(t)))
+      .map(r => (r.getSeq[String](1).length.toLong, r.getLong(0)))
+      .sortBy(identity).map(_._1)
+    val got = engine.lenPercentilesRelational(q)
+    assert(got.map(_._1) == QueryEngine.PercentileSet)
+    got.foreach { case (p, l) =>
+      val r = math.max(1L, math.ceil(p * lens.length).toLong).toInt
+      assert(l == lens(r - 1), s"p=$p: got $l want ${lens(r - 1)}")
+    }
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a <= b },
+      "percentiles must be non-decreasing in p")
+    assert(engine.lenPercentilesRelational("zzzzunknown").isEmpty)
+  }
+
   test("filtered retrieval: empty filter is empty; all-docs filter == unfiltered") {
     built
     val none = Corpus.docs(spark, sfDir).filter(col("docID") < 0).select(col("docID"))
