@@ -446,6 +446,13 @@ object SparkEntry {
       new QueryEngine(s, Seq(indexDir)).lenPercentilesAll()
     }),
 
+    // -- ES stats + cardinality bundle over the match set (artifact-side)
+    "match_stats" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).matchStatsAll()
+    }),
+
     // -- fuzzy BM25: Levenshtein-1 dictionary expansion, OR semantics
     "bm25_fuzzy_oracle" -> ((s, dir) => Bm25.oracleFuzzyTopK(s, dir)),
     "bm25_fuzzy_indexed" -> ((s, dir) => indexedFuzzyTopK(s, dir)),
@@ -621,6 +628,7 @@ object SparkEntry {
     "bm25_wildcard_indexed" -> Bm25.oracleSqlWildcardTopK(),
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
     "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
+    "match_stats" -> Bm25.oracleSqlMatchStats(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),
     "search_mixed" -> Bm25.oracleSqlMixedTopK(),
     "search_field_oracle" -> Bm25.oracleSqlFieldTopK(),

@@ -2171,6 +2171,40 @@ object Bm25 {
     s"$base,\n$ordCtes\nSELECT * FROM (\n$perCell\n) ORDER BY query, p"
   }
 
+  /** DuckDB twin of the `match_stats` entry (QueryEngine.matchStatsAll):
+    * the same integer min/max/sum + exact distinct-lang count over the
+    * match set, one final rounded division. */
+  def oracleSqlMatchStats(): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), dv AS (
+         |  SELECT doc_id AS docID, lang FROM documents
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(count(DISTINCT dv.lang) AS BIGINT) AS n_langs,
+         |        CAST(min(dl.len) AS BIGINT) AS min_len,
+         |        CAST(max(dl.len) AS BIGINT) AS max_len,
+         |        round(CAST(sum(dl.len) AS DOUBLE) / count(*), 4) AS avg_len
+         | FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |       GROUP BY docID HAVING count(*) = ${terms.size}) m
+         | JOIN dl USING (docID)
+         | JOIN dv USING (docID)
+         | HAVING count(*) > 0)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query"
+  }
+
   /** DuckDB twin of [[oracleWildcardTopK]]: the prefix twin with the
     * expansion predicate swapped to `term LIKE '%frag%'` (fragments are
     * analyzer tokens — alphanumeric only, no LIKE metacharacters), same

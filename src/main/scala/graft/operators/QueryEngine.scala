@@ -2372,6 +2372,42 @@ final class QueryEngine(
       lenPercentilesRelational(q).map { case (p, l) => (qid, p, l) }
     }.toDF("query", "p", "len").orderBy(col("query"), col("p"))
 
+  /** Match-set stats bundle — the ES `stats` + `cardinality`
+    * aggregations over the doc-values columns: per fixed AND query,
+    * (n_docs, n_langs, min_len, max_len, avg_len) where n_langs is the
+    * exact distinct count of the keyword doc-values column and avg_len
+    * = round4(Σlen / n). Entirely artifact-side (term-pruned tf +
+    * docstats + docvals) — the corpus is never read; every aggregate
+    * is an integer min/max/sum or an exact distinct over the tiny
+    * keyword domain, so cross-engine FP parity is trivial (one final
+    * division). A query with no matches contributes no row. */
+  def matchStatsAll(): DataFrame = {
+    val docvals = indexDirs.map(d => Index.readDocVals(spark, d))
+      .reduce(_ unionAll _)
+    Bm25.QuerySet.flatMap { case (qid, q) =>
+      val terms = Analyzer.queryTerms(q)
+      val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
+        .reduce(_ unionAll _)
+        .filter(col("term").isin(terms: _*))
+      val matches = tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size).select(col("docID"))
+      val row = matches
+        .join(allDocStats.select(col("docID"), col("len")), "docID")
+        .join(docvals, "docID")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("len")).as("min_len"),
+          max(col("len")).as("max_len"),
+          round(sum(col("len")).cast("double") / count(lit(1)), 4)
+            .as("avg_len"))
+        .collect()(0)
+      if (row.getLong(0) == 0L) Nil
+      else Seq((qid, row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getDouble(4)))
+    }.toDF("query", "n_docs", "n_langs", "min_len", "max_len", "avg_len")
+      .orderBy(col("query"))
+  }
+
   /** Sort-by-field retrieval — the search-service "sort by a doc-values
     * column, not by relevance" mode: the k docs matching ALL query terms
     * ordered by document LENGTH descending (docID ascending tie-break).
