@@ -114,15 +114,19 @@ object Explain {
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topKWildcard("ow"))
 
-    show("synonym-group query (distributed range path, physical)",
-      "Expect: the pruned segments scan (PushedFilters In(term, " +
-        "[members...])) into ONE groupByKey Exchange keyed by docID " +
-        "range — each range task k-way merges its own slice of the " +
-        "group members' postings into a synthetic block-max pseudo-term " +
-        "(tf summed, df = max) and runs the ordinary conjunctive " +
-        "kernel; one TakeOrderedAndProject. Below the caps the query " +
-        "never reaches a plan at all (driver-local merge + kernel, " +
-        "LocalTableScan), which is the common case.",
+    show("synonym-group query (distributed scan path, physical)",
+      "Expect: SAME shape as the AND/OR scan path — the driver MEMBER's " +
+        "pruned segments scan into the WAND mapPartitions with NO " +
+        "Exchange before it, one TakeOrderedAndProject. Each task " +
+        "derives owned docID intervals from the driver member's range " +
+        "directory (gap coverage — an AND match may contain the driver " +
+        "GROUP only via a broadcast side member) and k-way merges each " +
+        "group's members within the interval into a synthetic block-max " +
+        "pseudo-term (tf summed, df = max) before the ordinary " +
+        "conjunctive kernel. Beyond the side broadcast cap a groupByKey " +
+        "range path takes over (path-identity spec-asserted); below the " +
+        "caps the query never reaches a plan at all (driver-local merge " +
+        "+ kernel), which is the common case.",
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topKSyn("hash|join table"))
 

@@ -1481,14 +1481,20 @@ class IndexQuerySpec extends AnyFunSuite {
     // naive two-term AND on at least the docs containing both members
     val grouped = collectTopK(engine.topKSyn("hash|join"))
     assert(grouped.nonEmpty)
-    // distributed range path (local fast path disabled) is rank-identical
-    val rangePath = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    // distributed SCAN path (local fast path disabled; side members fit
+    // the broadcast cap) is rank-identical to the driver-local path
+    val scanPath = new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+    // distributed RANGE fallback (broadcast cap disabled too)
+    val rangePath = new QueryEngine(spark, Seq(indexDir),
+      localWandUpTo = 0L, broadcastPostingsUpTo = -1L)
     try {
       for ((_, qtext) <- Bm25.SynQuerySet) {
+        assert(collectTopK(scanPath.topKSyn(qtext)) ==
+          collectTopK(engine.topKSyn(qtext)), s"syn scan '$qtext'")
         assert(collectTopK(rangePath.topKSyn(qtext)) ==
-          collectTopK(engine.topKSyn(qtext)), s"syn '$qtext'")
+          collectTopK(engine.topKSyn(qtext)), s"syn range '$qtext'")
       }
-    } finally rangePath.close()
+    } finally { scanPath.close(); rangePath.close() }
   }
 
   test("significant terms: sampler invariants hold over the fixed set") {
