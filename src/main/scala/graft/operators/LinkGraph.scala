@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   * every doc d to (d+1) mod n and (7d+3) mod n (the "next"/"hub"
   * anchors; junk hrefs are filtered by the parity port). The dst docID
   * is recovered from the normalized URL's `docK.html` tail. Edges are
-  * DISTINCT (the two anchors can coincide); self-loops are kept
-  * (standard PageRank tolerates them; deterministic either way).
+  * DISTINCT (the two anchors can coincide). A deterministic NOFOLLOW
+  * MASK then drops a residue-class subset of the anchors — the chain
+  * edge unless src mod 10 = 7, the hub edge only when src mod 4 = 0 or
+  * src mod 25 = 3 — the synthetic stand-in for the real web's
+  * robots/nofollow edge filtering. The mask matters beyond realism: the
+  * UNMASKED graph is provably rank-REGULAR (every node's in-mass is
+  * exactly 1 — e.g. both in-edges of node 84 come from node 83, whose
+  * out-degree is 1), so unmasked PageRank is the constant vector 1.0
+  * and the fixture would discriminate nothing. Masked, the fixture has
+  * ~70 distinct rank values at n = 500.
   *
   * Rank recurrence (damping d = 0.85, T = [[Iterations]]):
   *   r_0(v) = 1/N;  r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u)
-  * Every node has outdeg ≥ 1 by construction, so no dangling-mass term.
+  * Masked nodes can be DANGLING (no out-edge); their damped mass is
+  * dropped by the recurrence — the simplified Page-et-al. variant,
+  * applied identically in both engines, so parity is unaffected.
   * FP parity with the DuckDB twin holds exactly: in-degree is ≤ 2
-  * (7 is invertible mod n), so every per-node sum has ≤ 2 addends —
-  * commutative, association-free — and all other ops are identical
-  * scalar expressions.
+  * (7 is invertible mod n, and the mask only removes edges), so every
+  * per-node sum has ≤ 2 addends — commutative, association-free — and
+  * all other ops are identical scalar expressions.
   *
   * Scale shape: each iteration is one shuffle of the edge-contribution
   * frame keyed by dst (the Pregel/GraphX BSP round). Ranks and out-
@@ -42,19 +52,29 @@ object LinkGraph {
     * from the extracted-and-normalized links (the engine-side path
     * exercises extract → absolutize → normalize; the twin constructs
     * the same edges independently in closed form, the crawl-parity
-    * sibling-construction pattern). */
-  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    * sibling-construction pattern), then nofollow-masked (class doc). */
+  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Corpus.docs(spark, sfDir).count()
     Crawl.extractLinksParity(spark, sfDir)
       .select(col("docID").as("src"),
         regexp_extract(col("link"), "doc(\\d+)\\.html$", 1)
           .cast("long").as("dst"))
       .distinct()
+      .filter(
+        (col("dst") === (col("src") + 1) % n && col("src") % 10 =!= 7) ||
+        (col("dst") === (col("src") * 7 + 3) % n &&
+          (col("src") % 4 === 0 || col("src") % 25 === 3)))
+  }
 
-  /** (docID, rank, score) — the top-[[TopK]] docs by PageRank, score =
-    * round4(rank · N) (mean-normalized so 4-decimal rounding keeps
-    * resolution at any corpus size), ties broken by docID. */
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (docID, prs) for EVERY doc — the full static-rank doc-values
+    * vector, prs = round4(rank · N) (mean-normalized so 4-decimal
+    * rounding keeps resolution at any corpus size; the corpus mean of
+    * prs is ~1.0). This is the artifact [[pageRank]] ranks and
+    * [[Rescore]] blends into retrieval; at corpus scale it would be
+    * materialized next to the index's docstats like any doc-values
+    * column. FP parity with the twin is exact for every node (in-degree
+    * ≤ 2 — see the class doc). */
+  def pageRankAll(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Corpus.docs(spark, sfDir).count()
     val e = edges(spark, sfDir).cache()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
@@ -73,13 +93,19 @@ object LinkGraph {
       // cut the 10-round lineage so the plan stays iteration-sized
       ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks
-      .withColumn("score", round(col("r") * n, 4))
+    ranks.select(col("id").as("docID"), round(col("r") * n, 4).as("prs"))
+  }
+
+  /** (docID, rank, score) — the top-[[TopK]] docs by PageRank
+    * ([[pageRankAll]]'s vector ranked), ties broken by docID. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pageRankAll(spark, sfDir)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+        row_number().over(Window.orderBy(col("prs").desc, col("docID").asc))
           .cast("int"))
       .filter(col("rank") <= TopK)
-      .select(col("rank"), col("id").as("docID"), col("score"))
+      .select(col("rank"), col("docID"), col("prs").as("score"))
       .orderBy(col("rank"))
   }
 
@@ -151,8 +177,10 @@ object LinkGraph {
        |), edges AS (
        |  SELECT DISTINCT id AS src, dst FROM (
        |    SELECT id, (id + 1) % nn AS dst FROM nodes CROSS JOIN stats
+       |    WHERE id % 10 <> 7
        |    UNION ALL
        |    SELECT id, (7 * id + 3) % nn AS dst FROM nodes CROSS JOIN stats
+       |    WHERE id % 4 = 0 OR id % 25 = 3
        |  )
        |), h0 AS (
        |  SELECT id, 1.0 AS h FROM nodes
@@ -199,8 +227,10 @@ object LinkGraph {
        |), edges AS (
        |  SELECT DISTINCT id AS src, dst FROM (
        |    SELECT id, (id + 1) % nn AS dst FROM nodes CROSS JOIN stats
+       |    WHERE id % 10 <> 7
        |    UNION ALL
        |    SELECT id, (7 * id + 3) % nn AS dst FROM nodes CROSS JOIN stats
+       |    WHERE id % 4 = 0 OR id % 25 = 3
        |  )
        |), outdeg AS (
        |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src

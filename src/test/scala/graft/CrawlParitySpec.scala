@@ -311,9 +311,20 @@ class CrawlParitySpec extends AnyFunSuite {
     val n = graft.Corpus.docs(spark, sfDir).count()
     val e = LinkGraph.edges(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // the synthetic pages link d → (d+1)%n and (7d+3)%n, nothing else
-    assert(e.toSet == (0L until n).flatMap(d =>
-      Set((d, (d + 1) % n), (d, (7 * d + 3) % n))).toSet)
+    // the synthetic pages link d → (d+1)%n and (7d+3)%n, nofollow-masked
+    // (LinkGraph.edges doc) — nothing else
+    val expected = (0L until n).flatMap { d =>
+      val chain = if (d % 10 != 7) Set((d, (d + 1) % n)) else Set.empty
+      val hub = if (d % 4 == 0 || d % 25 == 3) Set((d, (7 * d + 3) % n))
+                else Set.empty
+      chain ++ hub
+    }.toSet
+    assert(e.toSet == expected)
+    // the mask keeps the graph parity-safe (in-degree ≤ 2: every
+    // per-node sum in the recurrence has ≤ 2 addends) and makes it
+    // rank-DISCRIMINATING (the unmasked graph is provably rank-regular:
+    // constant PageRank 1.0 — a fixture that orders nothing)
+    assert(e.groupBy(_._2).values.map(_.size).max <= 2)
     val out1 = LinkGraph.pageRank(spark, sfDir).collect()
     assert(out1.length == LinkGraph.TopK)
     val scores = out1.map(_.getDouble(2))
@@ -321,13 +332,16 @@ class CrawlParitySpec extends AnyFunSuite {
       "scores must be non-increasing in rank order")
     // mean-normalized rank floor: every node keeps at least (1-d)
     assert(scores.forall(_ >= (1.0 - LinkGraph.Damping) - 1e-9))
+    assert(scores.distinct.length > 1,
+      "top-k must span multiple rank values (discriminating fixture)")
     val out2 = LinkGraph.pageRank(spark, sfDir).collect()
     assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
     // HITS: top-k shape, max-normalized scores in (0, 1], rank 1 at 1.0
     val ht = LinkGraph.hits(spark, sfDir).collect()
     assert(ht.length == LinkGraph.TopK)
     assert(ht.head.getDouble(2) == 1.0, "rank-1 authority must be the max")
+    // hub may be 0 for a top-authority node the nofollow mask dangled
     assert(ht.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0 &&
-      r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+      r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0))
   }
 }
