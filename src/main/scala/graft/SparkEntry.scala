@@ -180,6 +180,12 @@ object SparkEntry {
     new QueryEngine(spark, Seq(indexDir)).topKAllWildcard()
   }
 
+  def indexedRegexTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    new QueryEngine(spark, Seq(indexDir)).topKAllRegex()
+  }
+
   /** Numeric doc-values range facet: every fixed AND query gated to
     * docs whose length lies in [lo, hi] — the allowed set read from the
     * index's own docStats column, corpus untouched. */
@@ -386,6 +392,17 @@ object SparkEntry {
       eng.searchGroupedAll(groups)
     }),
 
+    // -- static-rank rescoring: top-window BM25 re-ranked by the
+    //    blended bm25 + PageRank score (ES rescore / FeatureField)
+    "search_rescored_oracle" -> ((s, dir) =>
+      graft.operators.Rescore.rescoredOracle(s, dir)),
+    "search_rescored" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      graft.operators.Rescore.rescoredAll(s, dir,
+        new QueryEngine(s, Seq(indexDir)))
+    }),
+
     // -- query-focused snippets over the top-k result docs
     "search_snippets" -> ((s, dir) => indexedSnippets(s, dir)),
 
@@ -461,6 +478,18 @@ object SparkEntry {
     "bm25_wildcard_oracle" -> ((s, dir) => Bm25.oracleWildcardTopK(s, dir)),
     "bm25_wildcard_indexed" -> ((s, dir) => indexedWildcardTopK(s, dir)),
 
+    // -- regexp BM25: full-match dictionary expansion, OR semantics
+    "bm25_regex_oracle" -> ((s, dir) => Bm25.oracleRegexTopK(s, dir)),
+    "bm25_regex_indexed" -> ((s, dir) => indexedRegexTopK(s, dir)),
+
+    // -- ES /termvectors parity: per-doc (term, tf, df) from the
+    //    index's own artifacts, cross-gated against corpus truth
+    "term_vectors" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).termVectorsAll()
+    }),
+
     // -- proximity (window) BM25: all terms within w consecutive tokens
     "bm25_window_oracle" -> ((s, dir) => Bm25.oracleWindowTopK(s, dir)),
     "bm25_window_indexed" -> ((s, dir) => indexedWindowTopK(s, dir)),
@@ -501,6 +530,7 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextStats.langIdNb(s, dir)),
     "doc_xent" -> ((s, dir) => TextStats.docXent(s, dir)),
     "sample_stratified" -> ((s, dir) => TextStats.sampleStratified(s, dir)),
+    "mix_langs" -> ((s, dir) => TextStats.mixLangs(s, dir)),
     "pack_sequences" -> ((s, dir) => TextStats.packSequences(s, dir)),
     "training_set" -> ((s, dir) => TextStats.trainingSet(s, dir)),
     "training_set_curated" -> ((s, dir) =>
@@ -626,6 +656,9 @@ object SparkEntry {
     "bm25_fuzzy_indexed" -> Bm25.oracleSqlFuzzyTopK(),
     "bm25_wildcard_oracle" -> Bm25.oracleSqlWildcardTopK(),
     "bm25_wildcard_indexed" -> Bm25.oracleSqlWildcardTopK(),
+    "bm25_regex_oracle" -> Bm25.oracleSqlRegexTopK(),
+    "bm25_regex_indexed" -> Bm25.oracleSqlRegexTopK(),
+    "term_vectors" -> Bm25.oracleSqlTermVectors(),
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
     "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
     "match_stats" -> Bm25.oracleSqlMatchStats(),
@@ -637,6 +670,8 @@ object SparkEntry {
     "search_boosted" -> Bm25.oracleSqlBoostedTopK(),
     "search_grouped_oracle" -> Bm25.oracleSqlGroupedTopK(),
     "search_grouped" -> Bm25.oracleSqlGroupedTopK(),
+    "search_rescored_oracle" -> graft.operators.Rescore.oracleSql(),
+    "search_rescored" -> graft.operators.Rescore.oracleSql(),
     "match_counts" -> Bm25.oracleSqlMatchCounts(),
     "facet_counts" -> Bm25.oracleSqlFacetCounts(),
     "search_snippets" -> Snippets.searchSnippetsSql(),
@@ -669,6 +704,7 @@ object SparkEntry {
     "lang_id" -> TextStats.langIdNbSql,
     "doc_xent" -> TextStats.docXentSql,
     "sample_stratified" -> TextStats.sampleStratifiedSql(),
+    "mix_langs" -> TextStats.mixLangsSql(),
     "pack_sequences" -> TextStats.packSequencesSql(),
     "training_set" -> TextStats.trainingSetSql(),
     "training_set_curated" -> TextStats.curatedTrainingSetSql(),

@@ -122,6 +122,29 @@ object Bm25 {
     ("c07", "dup"),
   )
 
+  /** Fixed regexp query set (FIXTURES.md §35): each query is a regular
+    * expression FULL-matched against the dictionary; the expansion runs
+    * with OR semantics (same ordered-fold scoring as prefix/fuzzy/
+    * wildcard). Patterns are restricted to the construct subset where
+    * java.util.regex (engine + Spark RLike) and RE2 (DuckDB
+    * regexp_full_match) agree: literals, char classes, `.`,
+    * alternation groups, `?` `+` `*`. Covers: dot class (1 term),
+    * 2-way and 3-way alternation, absent (∅), wide dot-star expansion
+    * (7 terms), optional quantifier, partially-absent alternative. */
+  val RegexQuerySet: Seq[(String, String)] = Seq(
+    ("x01", "ha.h"),
+    ("x02", "s(can|ort)"),
+    ("x03", "(batch|merge|stream)"),
+    ("x04", "z+"),
+    ("x05", ".a.*"),
+    ("x06", "colum?n"),
+    ("x07", "quer(y|ies)"),
+  )
+
+  /** Fixed doc ids for the term-vectors fixture (FIXTURES.md §36) —
+    * all < 500, so present at every scale factor. */
+  val TermVectorDocs: Seq[Long] = Seq(7L, 42L, 101L, 333L, 499L)
+
   /** Length-histogram bucket width (FIXTURES.md §25): ⌊len/16⌋ spans
     * ~7 buckets over the synthetic corpus's 10–99-token documents at
     * every scale factor. */
@@ -1216,6 +1239,65 @@ object Bm25 {
       .select(col("docID"), col("score"))
   }
 
+  /** Regexp brute-force top-k over [[RegexQuerySet]] — the wildcard
+    * oracle with the contains-predicate swapped for an ANCHORED regex
+    * match (`rlike("^(?:pat)$")` ≡ java.util.regex `matches()`, the
+    * engine's dictionary-expansion predicate). */
+  def oracleRegexTopK(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs).cache()
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    val scored = tf
+      .join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .select(col("docID"), col("term"), col("contrib"))
+
+    val perQuery = RegexQuerySet.map { case (qid, pat) =>
+      scored
+        .filter(col("term").rlike("^(?:" + pat + ")$"))
+        .groupBy(col("docID"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("raw"))
+        .withColumn("score", round(col("raw"), 4))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("docID").asc)))
+        .filter(col("rank") <= k)
+        .select(lit(qid).as("query"), col("rank"), col("docID"), col("score"))
+    }
+    perQuery.reduce(_ unionAll _).orderBy(col("query"), col("rank"))
+  }
+
+  /** Exact-score regexp variant for internal rank-identity tests. */
+  def oracleRegexTopKExact(spark: SparkSession, sfDir: String,
+                           pat: String, k: Int = K): DataFrame = {
+    val docs   = Corpus.docs(spark, sfDir)
+    val tf     = termFreq(docs)
+    val doclen = docLengths(tf)
+    val stats  = corpusStats(doclen)
+    val df     = docFreq(tf)
+    tf.join(df, "term")
+      .join(doclen, "docID")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        contribCol(idfCol(col("n"), col("df")), col("tf"), col("len"), col("avgdl")))
+      .filter(col("term").rlike("^(?:" + pat + ")$"))
+      .groupBy(col("docID"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("docID").asc)
+      .limit(k)
+      .select(col("docID"), col("score"))
+  }
+
   /** Exact-score phrase variant for internal rank-identity tests. */
   def oraclePhraseTopKExact(spark: SparkSession, sfDir: String, qtext: String,
                             k: Int = K): DataFrame = {
@@ -2246,6 +2328,68 @@ object Bm25 {
          |) WHERE rank <= $k)""".stripMargin
     }.mkString("\n UNION ALL \n")
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of [[oracleRegexTopK]]: the wildcard twin with the
+    * LIKE predicate swapped for `regexp_full_match` (RE2; anchored, as
+    * the engine's java.util.regex `matches()` — patterns restricted to
+    * the shared construct subset, see [[RegexQuerySet]]). */
+  def oracleSqlRegexTopK(k: Int = K): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfr AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.docID, tf.term,
+         |         ln((stats.n - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / stats.avgdl))
+         |           AS contrib
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (docID) CROSS JOIN stats
+         |)""".stripMargin
+    val perQuery = RegexQuerySet.map { case (qid, pat) =>
+      s"""(SELECT '$qid' AS query, CAST(rank AS INTEGER) AS rank, docID, score FROM (
+         |  SELECT docID, round(raw, 4) AS score,
+         |         row_number() OVER (ORDER BY round(raw, 4) DESC, docID ASC) AS rank
+         |  FROM (
+         |    SELECT docID,
+         |           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+         |    FROM scored WHERE regexp_full_match(term, '$pat')
+         |    GROUP BY docID
+         |  )
+         |) WHERE rank <= $k)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, rank"
+  }
+
+  /** DuckDB twin of `QueryEngine.termVectorsAll`: the per-doc term
+    * vector re-derived from the corpus — what the index's stage-1 tf +
+    * dictionary artifacts must agree with row-for-row. */
+  def oracleSqlTermVectors(ids: Seq[Long] = TermVectorDocs): String = {
+    val inList = ids.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS docID, t.term AS term
+       |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+       |  WHERE t.term <> ''
+       |), tf AS (
+       |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+       |), dfr AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |)
+       |SELECT docID, term, tf, df FROM tf JOIN dfr USING (term)
+       |WHERE docID IN ($inList)
+       |ORDER BY docID, term""".stripMargin
   }
 
   /** DuckDB twin of [[oracleWindowTopK]]: the phrase twin's CTEs with the

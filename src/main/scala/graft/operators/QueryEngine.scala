@@ -1813,6 +1813,32 @@ final class QueryEngine(
     expanded
   }
 
+  /** Regexp dictionary expansion: every dictionary term FULL-matching
+    * the pattern (java.util.regex `matches()`; the above-cap dictionary
+    * scan uses Spark RLike — the same java.util.regex — anchored
+    * `^(?:pat)$`, a codegen'd row filter like the wildcard scan; an
+    * infix regex has no sortable prefix to push down, the honest
+    * fuzzy-lookup cost). Patterns should stay in the java/RE2 shared
+    * construct subset when a DuckDB twin is in play
+    * ([[Bm25.RegexQuerySet]]). */
+  def expandRegex(pattern: String, cap: Int = 64): Seq[String] = {
+    require(pattern.nonEmpty, "empty pattern")
+    val p = java.util.regex.Pattern.compile(pattern)
+    val expanded = (dictCaches match {
+      case Some(ms) =>
+        ms.flatMap(_.keysIterator.filter(t => p.matcher(t).matches()))
+      case None => indexDirs.flatMap { d =>
+        Index.readDictionary(spark, d)
+          .filter(col("term").rlike("^(?:" + pattern + ")$"))
+          .select(col("term")).as[String]
+          .take(cap + 1).toSeq
+      }
+    }).distinct.sorted
+    require(expanded.size <= cap,
+      s"regex '$pattern' expands to ${expanded.size} terms (cap $cap) — narrow it")
+    expanded
+  }
+
   /** Fuzzy retrieval: the query term expands to its Levenshtein-≤-1
     * dictionary neighborhood ([[expandFuzzy]]) and runs with OR
     * semantics over the expansion — identical scoring/path story to
@@ -1869,6 +1895,26 @@ final class QueryEngine(
   def topKAllWildcard(k: Int = Bm25.K): DataFrame =
     contractFrame(Bm25.WildcardQuerySet.map { case (qid, frag) =>
       qid -> topKWildcard(frag, k, rounded = true)
+    })
+
+  /** Regexp retrieval (Lucene RegexpQuery): the pattern expands to its
+    * full-match dictionary neighborhood ([[expandRegex]]) and runs with
+    * OR semantics over the expansion — identical scoring/path story to
+    * [[topKPrefix]]/[[topKWildcard]]: expansion terms are plain
+    * analyzer tokens, so they re-enter the normal query pipeline
+    * verbatim and ride every existing physical path and cache. */
+  def topKRegex(pattern: String, k: Int = Bm25.K, rounded: Boolean = false,
+                cap: Int = 64): DataFrame = {
+    val terms = expandRegex(pattern, cap)
+    if (terms.isEmpty) Seq.empty[(Long, Double)].toDF("docID", "score")
+    else topKImpl(terms.mkString(" "), k, rounded, orMode = true)
+  }
+
+  /** Driver-contract frame over the fixed REGEXP query set
+    * ([[Bm25.RegexQuerySet]]): (query, rank, docID, score), rounded. */
+  def topKAllRegex(k: Int = Bm25.K): DataFrame =
+    contractFrame(Bm25.RegexQuerySet.map { case (qid, pat) =>
+      qid -> topKRegex(pat, k, rounded = true)
     })
 
   /** Autocomplete: the top-m dictionary completions of `prefix` by
@@ -1977,6 +2023,34 @@ final class QueryEngine(
       explainScores(q, k).select(lit(qid).as("query"), col("rank"),
         col("docID"), col("term"), col("tf"), col("df"), col("contrib"))
     }.reduce(_ unionAll _).orderBy(col("query"), col("rank"), col("term"))
+
+  /** ES /termvectors parity: the per-doc term vector — (docID, term,
+    * tf, df) for each requested doc — from the INDEX's own artifacts:
+    * stage-1 tf rows by docID-pushdown point read (as
+    * [[moreLikeThis]]'s term selection), df summed across constituent
+    * dictionaries (LSM deltas hold disjoint docIDs, so per-dir dfs add
+    * exactly). The ≤ |ids|·|doc terms| tf rows broadcast into one probe
+    * join against the dictionary — never the reverse. Cross-gates the
+    * index artifacts against corpus truth: the DuckDB twin re-derives
+    * the identical vector by tokenizing the corpus. */
+  def termVectors(ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "no doc ids")
+    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf")
+        .select(col("docID"), col("term"), col("tf"))
+        .filter(col("docID").isin(ids: _*)))
+      .reduce(_ unionAll _)
+    val df = indexDirs.map(d =>
+        Index.readDictionary(spark, d).toDF().select(col("term"), col("df")))
+      .reduce(_ unionAll _)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    df.join(broadcast(tf), "term")
+      .select(col("docID"), col("term"), col("tf"), col("df"))
+      .orderBy(col("docID"), col("term"))
+  }
+
+  /** Driver-contract frame: [[termVectors]] over the fixed
+    * [[Bm25.TermVectorDocs]] fixture ids. */
+  def termVectorsAll(): DataFrame = termVectors(Bm25.TermVectorDocs)
 
   /** More-like-this: the top-k docs most similar to `srcDoc`, by BM25
     * over the source doc's top-`t` tf·idf terms (the classic Lucene MLT

@@ -360,6 +360,94 @@ object TextStats {
        |  FROM documents
        |) WHERE rk <= $quota ORDER BY docID""".stripMargin
 
+  // ------------------------------------- temperature language mixture
+
+  /** Temperature-weighted language mixture — the multilingual sampling
+    * step of XLM-R-style pretraining (sampling exponent α): the target
+    * corpus re-weights languages by n^α, UPsampling low-resource
+    * languages relative to proportion and DOWNsampling high-resource
+    * ones. α is fixed at 0.5 so the weight is sqrt(n) — correctly
+    * rounded IEEE in every engine (general pow is not), which is what
+    * makes the quota arithmetic bit-identical to the DuckDB twin.
+    *
+    * quota(l) = min(n_l, ceil(T · sqrt(n_l) / Σ_l sqrt(n_l))) with
+    * T = N/2 and the weight sum folded in ascending-lang order
+    * (cross-engine association); selection within a language = the
+    * first quota(l) docs by (sha256(content), docID) —
+    * [[sampleStratified]]'s reproducible content-keyed order.
+    *
+    * Scale: the per-lang counts are one partial-aggregable pass whose
+    * output is the LANGUAGE DOMAIN (driver-collected like lang_id's
+    * label set); selection reuses the bounded-heap map-side
+    * pre-reduction — ≤ max-quota rows per (input partition, lang)
+    * reach the shuffle, so no stratum is ever sorted in one task.
+    * Output (docID, lang, rk), docID-ordered. */
+  def mixLangs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Corpus.docs(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val t = counts.map(_._2).sum / 2.0
+    val sw = counts.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.sqrt(n.toDouble)
+    }
+    val quota = counts.map { case (l, n) =>
+      l -> math.min(n.toDouble,
+        math.ceil(t * math.sqrt(n.toDouble) / sw)).toLong
+    }
+    val qmax = quota.map(_._2).max.toInt
+    val hashed = docs
+      .select(col("docID"), col("lang"), sha2(col("content"), 256).as("sha"))
+      .as[(Long, String, String)]
+    val survivors = hashed.mapPartitions { it =>
+      val heaps = collection.mutable.Map
+        .empty[String, collection.mutable.TreeSet[(String, Long)]]
+      it.foreach { case (id, lang, sha) =>
+        val h = heaps.getOrElseUpdate(lang, collection.mutable.TreeSet.empty)
+        h += ((sha, id))
+        if (h.size > qmax) h -= h.last
+      }
+      heaps.iterator.flatMap { case (lang, h) =>
+        h.iterator.map { case (sha, id) => (id, lang, sha) }
+      }
+    }.toDF("docID", "lang", "sha")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("sha"), col("docID"))
+    survivors
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quota.toSeq.toDF("lang", "q")), "lang")
+      .filter(col("rk") <= col("q"))
+      .select(col("docID"), col("lang"), col("rk"))
+      .orderBy(col("docID"))
+  }
+
+  /** DuckDB twin of [[mixLangs]]: identical quota arithmetic (sqrt
+    * weights, ordered fold, ceil, least) and the same content-keyed
+    * per-lang ranking. */
+  def mixLangsSql(): String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+       |), tot AS (
+       |  SELECT CAST(count(*) AS DOUBLE) / 2.0 AS t FROM documents
+       |), sw AS (
+       |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+       |                     (a, b) -> a + b) AS s
+       |  FROM counts
+       |), quotas AS (
+       |  SELECT lang,
+       |         least(CAST(n AS DOUBLE),
+       |               ceil(tot.t * sqrt(CAST(n AS DOUBLE)) / sw.s)) AS q
+       |  FROM counts CROSS JOIN tot CROSS JOIN sw
+       |), ranked AS (
+       |  SELECT doc_id AS docID, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY sha256(text), doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT docID, lang, CAST(rk AS INTEGER) AS rk
+       |FROM ranked JOIN quotas USING (lang)
+       |WHERE rk <= q ORDER BY docID""".stripMargin
+
   // ------------------------------------------------- sequence packing
 
   /** Token budget of one packed training sequence. */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Codec
-import graft.operators.{Bm25, Index, QueryEngine}
+import graft.operators.{Bm25, Index, LinkGraph, QueryEngine, Rescore}
 import graft.operators.Index._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -783,6 +783,60 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { engine.search("*ow* table") }
   }
 
+  test("regex: rank-identity vs exact oracle; expansion semantics; dict-scan path") {
+    built
+    for ((qid, pat) <- Bm25.RegexQuerySet) {
+      val oracle = collectTopK(Bm25.oracleRegexTopKExact(spark, sfDir, pat))
+      val indexed = collectTopK(engine.topKRegex(pat, rounded = false))
+      assert(indexed.map(_._1) == oracle.map(_._1),
+        s"$qid /$pat/: regex ranking differs\n oracle=$oracle\n indexed=$indexed")
+      oracle.zip(indexed).foreach { case ((d, os), (_, is)) =>
+        assert(math.abs(os - is) < 1e-9, s"$qid doc $d: oracle=$os indexed=$is")
+      }
+    }
+    // driver-contract frame vs brute oracle
+    val oracleAll = Bm25.oracleRegexTopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexedAll = engine.topKAllRegex().collect().map(_.toSeq).toSeq
+    assert(indexedAll == oracleAll)
+    // a pattern full-matching exactly one term behaves like the plain OR query
+    assert(collectTopK(engine.topKRegex("ha.h")) ==
+      collectTopK(engine.topKOr("hash")))
+    // absent pattern → empty, no error; full-match is anchored (no
+    // substring semantics: "a." must NOT match 3+-letter terms)
+    assert(collectTopK(engine.topKRegex("z+")).isEmpty)
+    assert(engine.expandRegex("a.").isEmpty ||
+      engine.expandRegex("a.").forall(_.length == 2))
+    // expansion is the sorted full-match set
+    assert(engine.expandRegex("s(can|ort)") == Seq("scan", "sort"))
+    // cap guards unselective patterns (.a.* expands to 7 terms here)
+    intercept[IllegalArgumentException] { engine.topKRegex(".a.*", cap = 3) }
+    // big-vocab fallback: anchored RLike dictionary scan, same expansion
+    val scan = new QueryEngine(spark, Seq(indexDir), dictCacheUpTo = 0L)
+    for ((_, pat) <- Bm25.RegexQuerySet.take(3))
+      assert(scan.expandRegex(pat) == engine.expandRegex(pat), s"/$pat/")
+  }
+
+  test("term vectors: index artifacts == corpus truth; sum(tf) == doc len") {
+    built
+    val got = engine.termVectors(Bm25.TermVectorDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // brute truth from corpus tokenization
+    val tf = Bm25.termFreq(Corpus.docs(spark, sfDir)).cache()
+    val dfm = Bm25.docFreq(tf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = tf.filter(col("docID").isin(Bm25.TermVectorDocs: _*)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map { case (d, t, f) => (d, t, f, dfm(t)) }
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want)
+    // invariant: the vector's tf sums to the doc's indexed length
+    val lens = spark.read.parquet(s"$indexDir/docstats").collect()
+      .map(r => r.getAs[Long]("docID") -> r.getAs[Long]("len")).toMap
+    got.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._3).sum == lens(d), s"doc $d: sum(tf) != len")
+    }
+  }
+
   test("suggest: completions == brute df ranking; absent prefix empty; dict-scan path identical") {
     built
     val dfTruth = Bm25.docFreq(Bm25.termFreq(Corpus.docs(spark, sfDir)))
@@ -974,6 +1028,34 @@ class IndexQuerySpec extends AnyFunSuite {
       engine.prepareGroups(
         Seq((1L, "a"), (1L, "b")).toDF("docID", "grp"))
     }
+  }
+
+  test("rescored: window contract, indexed == brute stage-1, blend is live") {
+    built
+    val oracle = Rescore.rescoredOracle(spark, sfDir).collect().map(_.toSeq).toSeq
+    val indexed = Rescore.rescoredAll(spark, sfDir, engine).collect().map(_.toSeq).toSeq
+    // stage-1 source identity: index-retrieved window == brute-oracle window
+    assert(indexed == oracle)
+    // static-rank vector: exactly one prs per doc, all above the (1-d)/N
+    // damping floor (mean-normalized: floor becomes (1-d))
+    val pr = LinkGraph.pageRankAll(spark, sfDir).collect()
+    val n = graft.Corpus.docs(spark, sfDir).count()
+    assert(pr.length == n)
+    assert(pr.forall(_.getDouble(1) >= (1.0 - LinkGraph.Damping) - 1e-9))
+    // rescore window contract: every rescored hit sits inside its
+    // query's bm25 top-WindowSize (authority can never pull a doc in
+    // from outside the relevance window)
+    val win = engine.topKAllOver(Bm25.QuerySet, Rescore.WindowSize)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(indexed.forall(r =>
+      win.contains((r(0).asInstanceOf[String], r(2).asInstanceOf[Long]))))
+    // the blend is live on the fixture: at least one query's (rank →
+    // docID) assignment differs from the plain bm25 top-k
+    val plain = engine.topKAll().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val res = indexed.map(r => (r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Int], r(2).asInstanceOf[Long])).toSet
+    assert(res != plain, "rescoring never re-ordered any query — dead blend")
   }
 
   test("explain: per-term breakdown consistent with topK ranking and scores") {

@@ -498,6 +498,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == rows.map(_.toSeq).toSeq)
   }
 
+  test("lang mixture: quota formula, high-resource downsampled, deterministic") {
+    val rows = TextStats.mixLangs(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val langSizes = Corpus.docs(spark, dir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota formula honored exactly (sqrt weights, ordered fold, ceil)
+    val t = langSizes.values.sum / 2.0
+    val sw = langSizes.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }
+    for ((lang, n) <- langSizes) {
+      val q = math.min(n.toDouble, math.ceil(t * math.sqrt(n.toDouble) / sw)).toLong
+      assert(byLang(lang).toLong == q, s"lang $lang quota")
+    }
+    // temperature effect: the high-resource lang's mixture share sits
+    // BELOW its corpus share; the smallest lang's share sits above
+    val total = rows.length.toDouble
+    val nTotal = langSizes.values.sum.toDouble
+    val big = langSizes.maxBy(_._2)._1
+    val small = langSizes.minBy(_._2)._1
+    assert(byLang(big) / total < langSizes(big) / nTotal, "big lang not downsampled")
+    assert(byLang(small) / total > langSizes(small) / nTotal, "small lang not upsampled")
+    // per-lang ranks are 1..quota; rerun identical (no RNG state)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    val again = TextStats.mixLangs(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("sequence packing: offsets consistent with cumulative token flow") {
     val rows = TextStats.packSequences(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
