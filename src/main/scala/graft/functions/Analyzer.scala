@@ -97,7 +97,10 @@ object Analyzer {
       fields: Seq[(String, String)] = Nil,
       // per-term scoring weights from `term^w` pieces; terms absent from
       // the map weigh 1.0
-      boosts: Map[String, Double] = Map.empty)
+      boosts: Map[String, Double] = Map.empty,
+      // `/pattern/` regexp expansion pieces (raw — a regex is not
+      // analyzed text; Lucene RegexpQuery syntax)
+      regexes: Seq[String] = Nil)
 
   /** Search-box query parser: one raw string → [[SearchQuery]].
     *
@@ -111,6 +114,8 @@ object Analyzer {
     *   - `piece*`              → prefix-expansion piece
     *   - `piece~`              → fuzzy-expansion (Levenshtein-1) piece
     *   - `*piece*`             → wildcard (contains) expansion piece
+    *   - `/pattern/`           → regexp-expansion piece (raw pattern,
+    *                             Lucene RegexpQuery syntax; not analyzed)
     *
     *   - `field:value`        → facet restriction (e.g. `lang:en`); the
     *                             value is raw metadata, not analyzed
@@ -169,6 +174,8 @@ object Analyzer {
           s"boosted field pieces ($base^$w) are not supported")
         require(!(base.length > 1 && (base.endsWith("*") || base.endsWith("~"))),
           s"boosted prefix*/fuzzy~ pieces ($base^$w) are not supported")
+        require(!(base.length > 2 && base.startsWith("/") && base.endsWith("/")),
+          s"boosted regex pieces ($base^$w) are not supported")
         val wd = w.toDouble
         require(wd > 0.0, s"boost must be > 0: $base^$w")
         for (t <- tokenize(base)) {
@@ -200,15 +207,23 @@ object Analyzer {
       case (t, false, false) if t.length > 1 && t.endsWith("~") &&
         !FieldPat.matches(t) => tokenize(t.dropRight(1)).mkString
     }.filter(_.nonEmpty).toSeq
+    def isRegexPiece(t: String): Boolean =
+      t.length > 2 && t.startsWith("/") && t.endsWith("/")
+    require(!pieces2.exists(p => !p._2 && p._3 && isRegexPiece(p._1)),
+      "negated regex pieces (-/re/) are not supported")
+    val regexes = pieces2.collect {
+      case (t, false, false) if isRegexPiece(t) =>
+        t.substring(1, t.length - 1)
+    }.toSeq
     val bare = pieces2.collect {
       case (t, false, false) if !(t.length > 1 && (t.endsWith("*") || t.endsWith("~"))) &&
-        !FieldPat.matches(t) => t
+        !FieldPat.matches(t) && !isRegexPiece(t) => t
       case (t, true, false) => t // single-token quoted pieces fall through here too
     }
     val pos = (bare.flatMap(tokenize) ++ phrases.flatten).distinct.sorted.toSeq
     val neg = pieces2.collect { case (t, false, true) => t }
       .flatMap(tokenize).distinct.sorted.toSeq
     SearchQuery(pos, neg, phrases, prefixes, fuzzies, wildcards,
-      fields, boostsB.toMap)
+      fields, boostsB.toMap, regexes)
   }
 }

@@ -2795,12 +2795,15 @@ final class QueryEngine(
           "at most one field:value piece per query in this version")
         fieldFacet(p.fields.head._1, p.fields.head._2)
       }
-    if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty || p.wildcards.nonEmpty) {
-      require(p.prefixes.size + p.fuzzies.size + p.wildcards.size == 1 &&
+    if (p.prefixes.nonEmpty || p.fuzzies.nonEmpty || p.wildcards.nonEmpty ||
+        p.regexes.nonEmpty) {
+      require(p.prefixes.size + p.fuzzies.size + p.wildcards.size +
+        p.regexes.size == 1 &&
         p.pos.isEmpty && p.neg.isEmpty && p.phrases.isEmpty && facet == null,
-        "a prefix* / fuzzy~ / *wildcard* piece must be the only piece of the query")
+        "a prefix* / fuzzy~ / *wildcard* / /regex/ piece must be the only piece of the query")
       if (p.prefixes.nonEmpty) topKPrefix(p.prefixes.head, k, rounded)
       else if (p.wildcards.nonEmpty) topKWildcard(p.wildcards.head, k, rounded)
+      else if (p.regexes.nonEmpty) topKRegex(p.regexes.head, k, rounded)
       else topKFuzzy(p.fuzzies.head, k, rounded)
     } else if (p.phrases.isEmpty) {
       if (facet == null)

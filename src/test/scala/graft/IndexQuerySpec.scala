@@ -814,6 +814,19 @@ class IndexQuerySpec extends AnyFunSuite {
     val scan = new QueryEngine(spark, Seq(indexDir), dictCacheUpTo = 0L)
     for ((_, pat) <- Bm25.RegexQuerySet.take(3))
       assert(scan.expandRegex(pat) == engine.expandRegex(pat), s"/$pat/")
+    // search-box grammar: /re/ classifies as a regex piece, dispatches
+    // to topKRegex, and must be the lone piece; negated/boosted rejected
+    val p = graft.functions.Analyzer.parseSearch("/ha.h/")
+    assert(p.regexes == Seq("ha.h") && p.pos.isEmpty && p.wildcards.isEmpty)
+    assert(engine.search("/ha.h/", rounded = true).collect().toSeq ==
+      engine.topKRegex("ha.h", rounded = true).collect().toSeq)
+    intercept[IllegalArgumentException] { engine.search("/ha.h/ table") }
+    intercept[IllegalArgumentException] {
+      graft.functions.Analyzer.parseSearch("-/ha.h/")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Analyzer.parseSearch("/ha.h/^2")
+    }
   }
 
   test("term vectors: index artifacts == corpus truth; sum(tf) == doc len") {
