@@ -481,6 +481,29 @@ object Bench {
       f""""hybrid_set_ms":$hybridMs%.1f,"ann_brute_ms":$bruteMs%.1f,"sq8_prep_sec":$sq8PrepSec%.3f,"sq8_query_ms":$sq8Ms%.1f,"emb_parquet_bytes":$embBytes,"sq8_codes_parquet_bytes":$codeBytes,"""
     }
 
+    // static-rank tier (peak child only): PageRank vector build over
+    // the bench corpus's link graph (10 BSP rounds; replica doc_ids
+    // make most closed-form dsts dangle, but the dst-keyed shuffle
+    // volume per round — the cost being measured — is unchanged), then
+    // the rescored query set against the materialized vector
+    val rescoreJson = if (!phrase || sys.env.getOrElse("SPARK_GRAFT_RESCORE", "1") == "0") "" else {
+      import graft.operators.{LinkGraph, Rescore}
+      val tpr = System.nanoTime()
+      val pr = LinkGraph.pageRankAll(spark, corpusDir).cache()
+      val prDocs = pr.count()
+      val prSec = (System.nanoTime() - tpr) / 1e9
+      def rmed(reps: Int)(body: => Unit): Double = {
+        val ts = (0 until reps).map { _ =>
+          val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }
+      Rescore.rescoredAllWith(engine, pr).collect() // warm
+      val resMs = rmed(3)(Rescore.rescoredAllWith(engine, pr).collect())
+      pr.unpersist()
+      f""""pagerank_build_sec":$prSec%.3f,"pagerank_docs_per_sec":${prDocs / prSec}%.1f,"rescore_set_ms":$resMs%.1f,"""
+    }
+
     // pipeline-tier throughput (VERDICT r3 #6): one timed minhash-LSH
     // dedup pass and one timed fingerprint-artifact + decontaminate pass
     // over the token-perturbed replicated corpus, reported as docs/s
@@ -511,7 +534,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$msmJson$annJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$msmJson$annJson$rescoreJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -671,6 +694,7 @@ object Bench {
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",
         "emb_parquet_bytes", "sq8_codes_parquet_bytes",
+        "pagerank_build_sec", "pagerank_docs_per_sec", "rescore_set_ms",
         "pipe_docs", "dedup_sec", "dedup_docs_per_sec", "dedup_pairs",
         "decon_sec", "decon_docs_per_sec", "decon_flagged",
         "linededup_sec", "linededup_docs_per_sec", "lines_removed",

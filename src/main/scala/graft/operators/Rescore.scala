@@ -67,8 +67,14 @@ object Rescore {
     * re-ranked by the blended score, top-k emitted. */
   def rescoredAll(spark: SparkSession, sfDir: String, eng: QueryEngine,
                   k: Int = Bm25.K): DataFrame =
-    blend(eng.topKAllOver(Bm25.QuerySet, WindowSize),
-      LinkGraph.pageRankAll(spark, sfDir), k)
+    rescoredAllWith(eng, LinkGraph.pageRankAll(spark, sfDir), k)
+
+  /** [[rescoredAll]] against an already-materialized static-rank vector
+    * (the production shape: the artifact is built once, queries reuse
+    * it — also what the bench times). */
+  def rescoredAllWith(eng: QueryEngine, pr: DataFrame,
+                      k: Int = Bm25.K): DataFrame =
+    blend(eng.topKAllOver(Bm25.QuerySet, WindowSize), pr, k)
 
   /** Brute-force twin of [[rescoredAll]]: stage 1 from the DataFrame
     * BM25 oracle instead of the index — the engine-independent Spark
