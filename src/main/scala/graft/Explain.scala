@@ -114,6 +114,34 @@ object Explain {
       new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
         .topKWildcard("ow"))
 
+    show("indexed BM25 top-k, regexp expansion (scan path, physical)",
+      "Expect: SAME shape as wildcard — the full-match expansion " +
+        "happened driver-side against the pinned dictionary (no job), " +
+        "and the expanded terms run the ordinary OR scan path: no " +
+        "per-query Exchange, one TakeOrderedAndProject.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .topKRegex("s(can|ort)"))
+
+    show("static-rank rescore (stage-2 blend, window frame broadcast)",
+      "Expect: the Q·R-row stage-1 window frame behind a " +
+        "BroadcastExchange (build side) into ONE probe join against the " +
+        "N-row PageRank vector — the rank artifact is scanned once per " +
+        "query SET with no corpus-proportional shuffle; the final " +
+        "re-rank window is partitionBy(query) over ≤ Q·R rows.",
+      {
+        val eng = new QueryEngine(spark, Seq(indexDir))
+        graft.operators.Rescore.rescoredAllWith(eng,
+          graft.operators.LinkGraph.pageRankAll(spark, sfDir))
+      })
+
+    show("term vectors (index point read, cross-gate surface)",
+      "Expect: the stage-1 tf scan carries PushedFilters In(docID, " +
+        "[...]) — a point read of the five fixture docs, never a full " +
+        "artifact scan; the ≤ |ids|·|doc terms| tf rows behind a " +
+        "BroadcastExchange probing the dictionary aggregate.",
+      new QueryEngine(spark, Seq(indexDir))
+        .termVectors(Bm25.TermVectorDocs))
+
     show("synonym-group query (distributed scan path, physical)",
       "Expect: SAME shape as the AND/OR scan path — the driver MEMBER's " +
         "pruned segments scan into the WAND mapPartitions with NO " +
