@@ -454,6 +454,11 @@ object SparkEntry {
 
     // -- per-length-bucket match histogram (one-pass grouped counting)
     "len_histogram" -> ((s, dir) => indexedLenHistogram(s, dir)),
+    "len_ranges" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).lenRangesAll()
+    }),
 
     // -- exact nearest-rank len percentiles of each match set (ES
     //    percentiles agg; value-distribution resolve, no global sort)
@@ -660,6 +665,7 @@ object SparkEntry {
     "bm25_regex_indexed" -> Bm25.oracleSqlRegexTopK(),
     "term_vectors" -> Bm25.oracleSqlTermVectors(),
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
+    "len_ranges" -> Bm25.oracleSqlLenRanges(),
     "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
     "match_stats" -> Bm25.oracleSqlMatchStats(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),

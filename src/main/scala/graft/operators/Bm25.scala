@@ -145,6 +145,13 @@ object Bm25 {
     * all < 500, so present at every scale factor. */
   val TermVectorDocs: Seq[Long] = Seq(7L, 42L, 101L, 333L, 499L)
 
+  /** Range-aggregation boundaries (FIXTURES.md §38): ranges [20,40),
+    * [40,60), [60,80), [80,∞) over the 10–99-token corpus — docs under
+    * 20 tokens fall in NO range (the ES range-agg exclusion case is
+    * live at every scale factor). Two digits each: the group-name sort
+    * is lexicographic. */
+  val RangeBounds: Seq[Long] = Seq(20L, 40L, 60L, 80L)
+
   /** Length-histogram bucket width (FIXTURES.md §25): ⌊len/16⌋ spans
     * ~7 buckets over the synthetic corpus's 10–99-token documents at
     * every scale factor. */
@@ -2210,6 +2217,38 @@ object Bm25 {
          | GROUP BY 1, 2)""".stripMargin
     }.mkString("\n UNION ALL \n")
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, bucket"
+  }
+
+  /** DuckDB twin of the `len_ranges` entry (QueryEngine.lenRangesAll):
+    * the histogram twin with the floor-division bucket swapped for the
+    * containing range's lower bound (CASE over descending bounds);
+    * docs below the first bound drop out — ES range-agg semantics. */
+  def oracleSqlLenRanges(bounds: Seq[Long] = RangeBounds): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |)""".stripMargin
+    val caseExpr = bounds.reverse
+      .map(b => s"WHEN dl.len >= $b THEN CAST($b AS BIGINT)")
+      .mkString("CASE ", " ", " END")
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query, $caseExpr AS lo,
+         |        CAST(count(*) AS BIGINT) AS n_docs
+         | FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |       GROUP BY docID HAVING count(*) = ${terms.size}) m
+         | JOIN dl USING (docID)
+         | WHERE dl.len >= ${bounds.head}
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, lo"
   }
 
   /** DuckDB twin of the `len_percentiles` entry (QueryEngine

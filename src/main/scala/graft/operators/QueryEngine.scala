@@ -2393,6 +2393,72 @@ final class QueryEngine(
     }.toDF("query", "bucket", "n_docs").orderBy(col("query"), col("bucket"))
   }
 
+  /** Doc→range [[Groups]] for the ES `range` AGGREGATION (custom bucket
+    * boundaries, vs [[prepareLenGroups]]'s fixed width): ascending
+    * `bounds` b0 < b1 < … define ranges [b0,b1), [b1,b2), …, [bLast,∞);
+    * a doc with len < b0 belongs to NO range (the group cursor's −1 —
+    * skipped by the counting kernel before it counts), the ES range-agg
+    * contract. Group name = the range's lower bound; bounds must share
+    * a digit count so [[prepareGroups]]'s lexicographic name sort is
+    * numeric. Same broadcast-cap honesty budget as the histogram;
+    * beyond it [[lenRangesRelational]] is the plan of record. */
+  def prepareLenRangeGroups(bounds: Seq[Long]): Groups = {
+    require(bounds.nonEmpty && bounds == bounds.sorted &&
+      bounds.distinct.size == bounds.size, s"bounds must ascend: $bounds")
+    require(bounds.map(_.toString.length).distinct.size == 1,
+      s"bounds must share a digit count (name sort is lexicographic): $bounds")
+    val desc = bounds.reverse
+    val startCol = desc.tail.foldLeft(
+      when(col("len") >= desc.head, lit(desc.head))) { (acc, b) =>
+      acc.when(col("len") >= b, lit(b))
+    }
+    prepareGroups(allDocStats.filter(col("len") >= bounds.head)
+      .select(col("docID"), startCol.cast("string").as("grp")))
+  }
+
+  /** Relational twin of the range aggregation over the index's OWN
+    * artifacts (as [[lenHistogramRelational]]) — the 10^12-doc shape:
+    * term-pruned tf match set joined to docStats, grouped by the
+    * containing range's lower bound; docs below b0 drop out. */
+  def lenRangesRelational(qtext: String, bounds: Seq[Long],
+                          orMode: Boolean = false): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, s"bad bounds: $bounds")
+    val empty = Seq.empty[(Long, Long)].toDF("lo", "n_docs")
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return empty
+    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
+      .reduce(_ unionAll _)
+      .filter(col("term").isin(terms: _*))
+    val matches =
+      if (orMode) tf.select(col("docID")).distinct()
+      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size).select(col("docID"))
+    val desc = bounds.reverse
+    val startCol = desc.tail.foldLeft(
+      when(col("len") >= desc.head, lit(desc.head))) { (acc, b) =>
+      acc.when(col("len") >= b, lit(b))
+    }
+    matches
+      .join(allDocStats.select(col("docID"), col("len")), "docID")
+      .filter(col("len") >= bounds.head)
+      .groupBy(startCol.cast("long").as("lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lo"))
+  }
+
+  /** Driver-contract frame over the fixed AND query set: (query, lo,
+    * n_docs) — the ES `range` aggregation of each match set over the
+    * len doc-values column at the [[Bm25.RangeBounds]] boundaries.
+    * Rides [[lenHistogram]]'s grouped-counting kernel unchanged (ONE
+    * sweep counts all ranges; pooled shards add elementwise); the
+    * range groups are prepared once and every query reuses them. */
+  def lenRangesAll(bounds: Seq[Long] = Bm25.RangeBounds): DataFrame = {
+    val groups = prepareLenRangeGroups(bounds)
+    Bm25.QuerySet.flatMap { case (qid, q) =>
+      lenHistogram(q, groups).map { case (b, n) => (qid, b.toLong, n) }
+    }.toDF("query", "lo", "n_docs").orderBy(col("query"), col("lo"))
+  }
+
   /** EXACT length percentiles of a query's match set — the ES
     * `percentiles` aggregation over a doc-values column, computed
     * nearest-rank (the len at sorted position ceil(p·cnt); IEEE

@@ -739,6 +739,33 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { engine.prepareLenGroups(0) }
   }
 
+  test("range agg: kernel ≡ relational; below-b0 docs excluded on both paths") {
+    built
+    val bounds = Bm25.RangeBounds
+    val groups = engine.prepareLenRangeGroups(bounds)
+    for ((qid, q) <- Bm25.QuerySet; orMode <- Seq(false, true)) {
+      val kernel = engine.lenHistogram(q, groups, orMode)
+        .map { case (b, n) => (b.toLong, n) }
+      val rel = engine.lenRangesRelational(q, bounds, orMode)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(kernel == rel, s"$qid or=$orMode: kernel=$kernel relational=$rel")
+      // every emitted range start is a declared bound
+      assert(kernel.forall(r => bounds.contains(r._1)), s"$qid: stray range")
+    }
+    // the exclusion case is LIVE: some match of the stop-word query has
+    // len < b0, so range sums undercount the total (unlike the histogram)
+    val all = engine.lenHistogram("the", groups, orMode = true)
+    assert(all.map(_._2).sum < engine.countMatches("the", orMode = true),
+      "no doc below the first bound — exclusion fixture is dead")
+    // guards: unsorted bounds and mixed digit counts reject
+    intercept[IllegalArgumentException] {
+      engine.prepareLenRangeGroups(Seq(40L, 20L))
+    }
+    intercept[IllegalArgumentException] {
+      engine.prepareLenRangeGroups(Seq(9L, 20L))
+    }
+  }
+
   test("wildcard: rank-identity vs exact contains oracle (every wildcard query)") {
     built
     for ((qid, frag) <- Bm25.WildcardQuerySet) {
