@@ -97,4 +97,67 @@ class KernelPropertySpec extends AnyFunSuite {
         == brute)
     }
   }
+
+  // ----------------------------------------------- countGroupsRange
+
+  test("countGroupsRange == brute per-group counts; unmapped docs skipped (property)") {
+    forAllGen(countCase, n = 200) { case (byIds, lo, hi, orMode) =>
+      val segs = byIds.map { case (t, ids) => t -> segsOf(t, ids) }
+      val terms = byIds.keys.toArray.sorted
+      // group map: docs ≡ 0 (mod 4) are UNMAPPED (cursor −1); the rest
+      // group by d mod 3 — exercises the range-agg exclusion semantics
+      val mapped = (0L to 200L).filter(_ % 4 != 0).toArray
+      val groups = mapped.map(d => (d % 3).toInt)
+      val inRange = byIds.view.mapValues(_.filter(d => d >= lo && d < hi).toSet)
+      val matches =
+        if (orMode) inRange.values.foldLeft(Set.empty[Long])(_ | _)
+        else inRange.values.reduce(_ & _)
+      val brute = Array.tabulate(3)(g =>
+        matches.count(d => d % 4 != 0 && (d % 3).toInt == g).toLong)
+      val got = QueryEngine.countGroupsRange(segs, terms, 10.0, lo, hi,
+        orMode, QueryEngine.monotoneGroupCursor(mapped, groups), 3)
+      assert(got.toSeq == brute.toSeq,
+        s"terms=${byIds.view.mapValues(_.mkString(",")).toMap} lo=$lo hi=$hi or=$orMode")
+    }
+  }
+
+  // --------------------------------------------- mergeGroupSegments
+
+  private val mergeCase: Gen[(List[Array[Long]], Long, Long)] =
+    for {
+      nMembers <- Gen.chooseNum(1, 4)
+      lists <- Gen.listOfN(nMembers,
+        Gen.nonEmptyListOf(Gen.chooseNum(0L, 120L)).map(_.distinct.sorted.toArray))
+      lo <- Gen.chooseNum(0L, 60L)
+      span <- Gen.chooseNum(0L, 100L)
+    } yield (lists, lo, lo + span)
+
+  test("mergeGroupSegments == brute tf-sum merge inside [lo, hi) (property)") {
+    forAllGen(mergeCase, n = 200) { case (lists, lo, hi) =>
+      val memberSegs =
+        lists.zipWithIndex.map { case (ids, i) => segsOf(s"m$i", ids) }.toArray
+      val lenOf: Long => Long = d => (d % 9) + 3 // segsOf's len recipe
+      val dfG = lists.map(_.length.toLong).max
+      val merged = QueryEngine.mergeGroupSegments("g", dfG, memberSegs,
+        lenOf, 10.0, lo, hi)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      if (merged.nonEmpty) {
+        val it = new QueryEngine.PostingListIterator(merged, 10.0)
+        it.advance(0L)
+        while (!it.exhausted) {
+          got += ((it.docID, it.tf)); it.advance(it.docID + 1)
+        }
+      }
+      // member tf = (d % 5) + 1 (segsOf's recipe); the group tf SUMS
+      // across members present at d — the SynonymQuery contract
+      val brute = lists
+        .flatMap(_.filter(d => d >= lo && d < hi).map(d => d -> ((d % 5) + 1L)))
+        .groupBy(_._1).toSeq
+        .map { case (d, xs) => (d, xs.map(_._2).sum) }.sortBy(_._1)
+      assert(got.toSeq == brute,
+        s"lists=${lists.map(_.mkString(",")).mkString(";")} lo=$lo hi=$hi")
+      // strictly increasing docIDs (posting-order invariant O4)
+      assert(got.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+  }
 }
