@@ -363,6 +363,23 @@ object Bench {
       f""""prefix_p50_ms":${xpct(0.5)}%.3f,"prefix_p95_ms":${xpct(0.95)}%.3f,"""
     }
 
+    // plain multi-term OR latency (peak child only): the disjunctive
+    // family's base cost, next to which msm/syn/wildcard price
+    val orJson = if (!phrase) "" else {
+      Bm25.QuerySet.foreach { case (_, q) => engine.topKOr(q, rounded = true).collect() }
+      val olats = Bm25.QuerySet.map { case (_, q) =>
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime()
+          engine.topKOr(q, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }.sorted
+      def opct(p: Double) = olats(
+        math.min(olats.length - 1, math.ceil(p * olats.length).toInt - 1).max(0))
+      f""""or_p50_ms":${opct(0.5)}%.3f,"or_p95_ms":${opct(0.95)}%.3f,"""
+    }
+
     // minimum-should-match + sort-by-field latency (peak child only):
     // the msm floor rides the disjunctive kernel (expect ~OR parity);
     // sort-by-field pays the full AND cursor walk but zero scoring
@@ -534,7 +551,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$msmJson$annJson$rescoreJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$orJson$msmJson$annJson$rescoreJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -689,7 +706,8 @@ object Bench {
         "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
-        "count_p50_ms", "count_p95_ms", "msm_p50_ms", "sorted_p50_ms",
+        "count_p50_ms", "count_p95_ms", "or_p50_ms", "or_p95_ms",
+        "msm_p50_ms", "sorted_p50_ms",
         "wildcard_p50_ms", "histogram_p50_ms", "syn_p50_ms",
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
         "hybrid_set_ms", "ann_brute_ms", "sq8_prep_sec", "sq8_query_ms",

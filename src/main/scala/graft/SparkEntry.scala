@@ -459,6 +459,11 @@ object SparkEntry {
       Index.build(s, dir, indexDir)
       new QueryEngine(s, Seq(indexDir)).lenRangesAll()
     }),
+    "match_docs" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).matchDocsAll()
+    }),
 
     // -- exact nearest-rank len percentiles of each match set (ES
     //    percentiles agg; value-distribution resolve, no global sort)
@@ -666,6 +671,7 @@ object SparkEntry {
     "term_vectors" -> Bm25.oracleSqlTermVectors(),
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
     "len_ranges" -> Bm25.oracleSqlLenRanges(),
+    "match_docs" -> Bm25.oracleSqlMatchDocs(),
     "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
     "match_stats" -> Bm25.oracleSqlMatchStats(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),

@@ -2219,6 +2219,27 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, bucket"
   }
 
+  /** DuckDB twin of the `match_docs` entry (QueryEngine.matchDocsAll):
+    * the full AND match set per fixed query, docID-ordered — the
+    * scroll/export contract re-derived from the corpus. */
+  def oracleSqlMatchDocs(): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |)""".stripMargin
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query, docID FROM tf WHERE term IN ($inList)
+         | GROUP BY docID HAVING count(*) = ${terms.size})""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, docID"
+  }
+
   /** DuckDB twin of the `len_ranges` entry (QueryEngine.lenRangesAll):
     * the histogram twin with the floor-division bucket swapped for the
     * containing range's lower bound (CASE over descending bounds);

@@ -2368,14 +2368,7 @@ final class QueryEngine(
     val empty = Seq.empty[(Long, Long)].toDF("bucket", "n_docs")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
-    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
-      .reduce(_ unionAll _)
-      .filter(col("term").isin(terms: _*))
-    val matches =
-      if (orMode) tf.select(col("docID")).distinct()
-      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
-        .filter(col("nt") === terms.size).select(col("docID"))
-    matches
+    matchDocs(qtext, orMode)
       .join(allDocStats.select(col("docID"), col("len")), "docID")
       .groupBy(floor(col("len") / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
@@ -2392,6 +2385,34 @@ final class QueryEngine(
       lenHistogram(q, groups).map { case (b, n) => (qid, b, n) }
     }.toDF("query", "bucket", "n_docs").orderBy(col("query"), col("bucket"))
   }
+
+  /** Distributed match-set EXPORT — the ES scroll / point-in-time
+    * export, and the bridge from retrieval to the training-data tier
+    * ("all docs matching q" as a frame feeding a curation step): the
+    * full AND/OR match set, no scoring, no top-k, entirely
+    * artifact-side. The stage-1 tf scan is term-pruned by parquet
+    * row-group pushdown; the match reduction is one partial-aggregable
+    * groupBy; shuffle ∝ matching docs, the corpus is never read. The
+    * relational aggregation fallbacks ([[lenHistogramRelational]],
+    * [[lenRangesRelational]], [[lenPercentilesRelational]]) all build
+    * on this frame. */
+  def matchDocs(qtext: String, orMode: Boolean = false): DataFrame = {
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return Seq.empty[Long].toDF("docID")
+    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
+      .reduce(_ unionAll _)
+      .filter(col("term").isin(terms: _*))
+    if (orMode) tf.select(col("docID")).distinct()
+    else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.size).select(col("docID"))
+  }
+
+  /** Driver-contract frame over the fixed AND query set: (query,
+    * docID) — every match of every query, docID-ordered per query. */
+  def matchDocsAll(): DataFrame =
+    Bm25.QuerySet.map { case (qid, q) =>
+      matchDocs(q).select(lit(qid).as("query"), col("docID"))
+    }.reduce(_ unionAll _).orderBy(col("query"), col("docID"))
 
   /** Doc→range [[Groups]] for the ES `range` AGGREGATION (custom bucket
     * boundaries, vs [[prepareLenGroups]]'s fixed width): ascending
@@ -2426,13 +2447,7 @@ final class QueryEngine(
     val empty = Seq.empty[(Long, Long)].toDF("lo", "n_docs")
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return empty
-    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
-      .reduce(_ unionAll _)
-      .filter(col("term").isin(terms: _*))
-    val matches =
-      if (orMode) tf.select(col("docID")).distinct()
-      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
-        .filter(col("nt") === terms.size).select(col("docID"))
+    val matches = matchDocs(qtext, orMode)
     val desc = bounds.reverse
     val startCol = desc.tail.foldLeft(
       when(col("len") >= desc.head, lit(desc.head))) { (acc, b) =>
@@ -2475,14 +2490,7 @@ final class QueryEngine(
                                orMode: Boolean = false): Seq[(Double, Long)] = {
     val terms = Analyzer.queryTerms(qtext)
     if (terms.isEmpty) return Nil
-    val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
-      .reduce(_ unionAll _)
-      .filter(col("term").isin(terms: _*))
-    val matches =
-      if (orMode) tf.select(col("docID")).distinct()
-      else tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
-        .filter(col("nt") === terms.size).select(col("docID"))
-    val dist = matches
+    val dist = matchDocs(qtext, orMode)
       .join(allDocStats.select(col("docID"), col("len")), "docID")
       .groupBy(col("len")).agg(count(lit(1)).as("c"))
       .orderBy(col("len"))
@@ -2525,13 +2533,7 @@ final class QueryEngine(
     val docvals = indexDirs.map(d => Index.readDocVals(spark, d))
       .reduce(_ unionAll _)
     Bm25.QuerySet.flatMap { case (qid, q) =>
-      val terms = Analyzer.queryTerms(q)
-      val tf = indexDirs.map(d => spark.read.parquet(s"$d/tf"))
-        .reduce(_ unionAll _)
-        .filter(col("term").isin(terms: _*))
-      val matches = tf.groupBy(col("docID")).agg(count(lit(1)).as("nt"))
-        .filter(col("nt") === terms.size).select(col("docID"))
-      val row = matches
+      val row = matchDocs(q)
         .join(allDocStats.select(col("docID"), col("len")), "docID")
         .join(docvals, "docID")
         .agg(count(lit(1)).as("n_docs"),

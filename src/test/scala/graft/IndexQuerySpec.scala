@@ -739,6 +739,17 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { engine.prepareLenGroups(0) }
   }
 
+  test("match docs: export set cardinality == count kernel; AND ⊆ OR") {
+    built
+    for ((qid, q) <- Bm25.QuerySet) {
+      val and = engine.matchDocs(q).collect().map(_.getLong(0)).toSet
+      assert(and.size.toLong == engine.countMatches(q), s"$qid AND")
+      val or = engine.matchDocs(q, orMode = true).collect().map(_.getLong(0)).toSet
+      assert(or.size.toLong == engine.countMatches(q, orMode = true), s"$qid OR")
+      assert(and.subsetOf(or), qid)
+    }
+  }
+
   test("range agg: kernel ≡ relational; below-b0 docs excluded on both paths") {
     built
     val bounds = Bm25.RangeBounds
