@@ -363,6 +363,36 @@ object Bench {
       f""""prefix_p50_ms":${xpct(0.5)}%.3f,"prefix_p95_ms":${xpct(0.95)}%.3f,"""
     }
 
+    // sustained concurrent QPS (peak child only): T client threads
+    // round-robin the fixed AND query set for a wall window — the
+    // query-serving-node headline (per-query latency alone hides how
+    // much scheduling overlaps under concurrent load)
+    val qpsJson = if (!phrase) "" else {
+      val nThreads = sys.env.getOrElse("SPARK_GRAFT_QPS_THREADS", "8").toInt
+      val windowMs = sys.env.getOrElse("SPARK_GRAFT_QPS_MS", "10000").toLong
+      Bm25.QuerySet.foreach { case (_, q) => engine.topK(q, rounded = true).collect() }
+      val done = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val t0 = System.nanoTime()
+      val futs = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var i = t
+            while (!stop.get()) {
+              val (_, q) = Bm25.QuerySet(i % Bm25.QuerySet.size)
+              engine.topK(q, rounded = true).collect()
+              done.incrementAndGet(); i += 1
+            }
+          }
+        })
+      }
+      Thread.sleep(windowMs); stop.set(true)
+      futs.foreach(_.get()); pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      f""""qps_threads":$nThreads,"qps_sustained":${done.get() / wall}%.1f,"""
+    }
+
     // plain multi-term OR latency (peak child only): the disjunctive
     // family's base cost, next to which msm/syn/wildcard price
     val orJson = if (!phrase) "" else {
@@ -551,7 +581,7 @@ object Bench {
     val qs = perQuery.map { case (k, ms) => s""""$k":$ms""" }.mkString("{", ",", "}")
     val host = f""""host_ext_busy_frac":$extBusyFrac%.4f,"host_steal_frac":$stealFrac%.4f,"loadavg":${readLoadAvg()}%.2f,"""
     println(
-      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$orJson$msmJson$annJson$rescoreJson$pipeJson$bm"queries":$qs}""")
+      s"""GRAFT_CHILD{"cpus":$cpus,"docs":$docs,"build_sec":$buildSec,"docs_per_sec":${docs / buildSec},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},$host$filteredJson$phraseJson$groupedJson$countJson$prefixJson$qpsJson$orJson$msmJson$annJson$rescoreJson$pipeJson$bm"queries":$qs}""")
   }
 
   /** Spawn a child JVM (same classpath, JDK17 module opens) for one level. */
@@ -706,7 +736,8 @@ object Bench {
         "filtered_p50_ms", "filtered_p95_ms",
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
-        "count_p50_ms", "count_p95_ms", "or_p50_ms", "or_p95_ms",
+        "count_p50_ms", "count_p95_ms", "qps_threads", "qps_sustained",
+        "or_p50_ms", "or_p95_ms",
         "msm_p50_ms", "sorted_p50_ms",
         "wildcard_p50_ms", "histogram_p50_ms", "syn_p50_ms",
         "boosted_p50_ms", "grouped_p50_ms", "grouped_comp_p50_ms",
