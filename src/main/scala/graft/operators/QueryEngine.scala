@@ -2836,10 +2836,11 @@ final class QueryEngine(
     * + NOT IN). Multiple quoted phrases compose conjunctively inside the
     * same WAND kernel pass; phrases require a positional index.
     *
-    * Dispatch rules: a `piece*` (prefix) or `piece~` (fuzzy) marker must
-    * be the whole query — their OR-over-expansion semantics don't
-    * compose with AND gates ([[topKPrefix]]/[[topKFuzzy]] are the
-    * targets). `orMode` applies only to phrase-free queries (phrases
+    * Dispatch rules: a `piece*` (prefix), `piece~` (fuzzy), `*piece*`
+    * (wildcard) or `/piece/` (regexp) marker must be the whole query —
+    * their OR-over-expansion semantics don't compose with AND gates
+    * ([[topKPrefix]]/[[topKFuzzy]]/[[topKWildcard]]/[[topKRegex]] are
+    * the targets). `orMode` applies only to phrase-free queries (phrases
     * imply AND). Only-negative or empty queries return ∅.
     *
     * A `field:value` piece (e.g. `lang:en`) becomes a facet gate inside
