@@ -464,6 +464,11 @@ object SparkEntry {
       Index.build(s, dir, indexDir)
       new QueryEngine(s, Seq(indexDir)).matchDocsAll()
     }),
+    "len_percentile_ranks" -> ((s, dir) => {
+      val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Index.build(s, dir, indexDir)
+      new QueryEngine(s, Seq(indexDir)).lenPercentileRanksAll()
+    }),
 
     // -- exact nearest-rank len percentiles of each match set (ES
     //    percentiles agg; value-distribution resolve, no global sort)
@@ -672,6 +677,8 @@ object SparkEntry {
     "len_histogram" -> Bm25.oracleSqlLenHistogram(),
     "len_ranges" -> Bm25.oracleSqlLenRanges(),
     "match_docs" -> Bm25.oracleSqlMatchDocs(),
+    "len_percentile_ranks" ->
+      Bm25.oracleSqlLenPercentileRanks(QueryEngine.PercentileRankValues),
     "len_percentiles" -> Bm25.oracleSqlLenPercentiles(QueryEngine.PercentileSet),
     "match_stats" -> Bm25.oracleSqlMatchStats(),
     "search_mixed_oracle" -> Bm25.oracleSqlMixedTopK(),

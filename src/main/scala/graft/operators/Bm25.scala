@@ -2219,6 +2219,37 @@ object Bm25 {
     s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, bucket"
   }
 
+  /** DuckDB twin of the `len_percentile_ranks` entry
+    * (QueryEngine.lenPercentileRanksAll): fraction of each match set
+    * with len ≤ each probe value — exact-integer count over
+    * exact-integer total, one round4 division. */
+  def oracleSqlLenPercentileRanks(values: Seq[Long]): String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id AS docID, t.term AS term
+         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+         |  WHERE t.term <> ''
+         |), tf AS (
+         |  SELECT docID, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY docID, term
+         |), dl AS (
+         |  SELECT docID, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY docID
+         |)""".stripMargin
+    val vlist = values.map(v => s"($v)").mkString(", ")
+    val perQuery = QuerySet.map { case (qid, qtext) =>
+      val terms = Analyzer.queryTerms(qtext)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""(SELECT '$qid' AS query, CAST(v.v AS BIGINT) AS value,
+         |        round(CAST(sum(CASE WHEN dl.len <= v.v THEN 1 ELSE 0 END) AS DOUBLE)
+         |              / count(*), 4) AS frac
+         | FROM (SELECT docID FROM tf WHERE term IN ($inList)
+         |       GROUP BY docID HAVING count(*) = ${terms.size}) m
+         | JOIN dl USING (docID)
+         | CROSS JOIN (VALUES $vlist) v(v)
+         | GROUP BY v.v)""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"$base\nSELECT * FROM (\n$perQuery\n) ORDER BY query, value"
+  }
+
   /** DuckDB twin of the `match_docs` entry (QueryEngine.matchDocsAll):
     * the full AND match set per fixed query, docID-ordered — the
     * scroll/export contract re-derived from the corpus. */

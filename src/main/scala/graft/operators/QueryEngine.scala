@@ -344,6 +344,10 @@ object QueryEngine {
   /** Fixed percentile set of the `len_percentiles` entry. */
   val PercentileSet: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
 
+  /** Fixed probe values of the `len_percentile_ranks` entry — spread
+    * over the 10–99-token len domain. */
+  val PercentileRankValues: Seq[Long] = Seq(30L, 50L, 70L, 90L)
+
   /** [[mergeGroupSegments]] over every group of a synonym query:
     * `specs` = (pseudoName, present members, group df). Groups whose
     * merge is empty in [lo, hi) are OMITTED (unmatchable conjunct —
@@ -2519,6 +2523,39 @@ final class QueryEngine(
     Bm25.QuerySet.flatMap { case (qid, q) =>
       lenPercentilesRelational(q).map { case (p, l) => (qid, p, l) }
     }.toDF("query", "p", "len").orderBy(col("query"), col("p"))
+
+  /** EXACT percentile RANKS — the inverse of [[lenPercentilesRelational]]
+    * (the ES `percentile_ranks` aggregation): for each probe value v,
+    * the fraction of the match set with len ≤ v, round4. Same scale
+    * shape as the percentiles: the match set reduces to its VALUE
+    * DISTRIBUTION (one groupBy(len), output bounded by the doc-values
+    * domain) and a driver-side walk resolves each probe — no global
+    * sort, no corpus scan. FP parity is trivial: an exact-integer
+    * count divided by an exact-integer total, rounded identically. */
+  def lenPercentileRanks(qtext: String,
+                         values: Seq[Long] = QueryEngine.PercentileRankValues,
+                         orMode: Boolean = false): Seq[(Long, Double)] = {
+    val terms = Analyzer.queryTerms(qtext)
+    if (terms.isEmpty) return Nil
+    val dist = matchDocs(qtext, orMode)
+      .join(allDocStats.select(col("docID"), col("len")), "docID")
+      .groupBy(col("len")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = dist.iterator.map(_._2).sum
+    if (cnt == 0) return Nil
+    values.map { v =>
+      val below = dist.iterator.filter(_._1 <= v).map(_._2).sum
+      v -> QueryEngine.r4(below.toDouble / cnt)
+    }
+  }
+
+  /** Driver-contract frame over the fixed AND query set: (query,
+    * value, frac) — percentile ranks of each match set at the fixed
+    * probe values; a query with no matches contributes no rows. */
+  def lenPercentileRanksAll(): DataFrame =
+    Bm25.QuerySet.flatMap { case (qid, q) =>
+      lenPercentileRanks(q).map { case (v, f) => (qid, v, f) }
+    }.toDF("query", "value", "frac").orderBy(col("query"), col("value"))
 
   /** Match-set stats bundle — the ES `stats` + `cardinality`
     * aggregations over the doc-values columns: per fixed AND query,

@@ -739,6 +739,52 @@ class IndexQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { engine.prepareLenGroups(0) }
   }
 
+  test("concurrent clients: parallel query calls equal serial results") {
+    built
+    val serial = Bm25.QuerySet.map { case (qid, q) =>
+      qid -> engine.topK(q, rounded = true).collect().map(_.toSeq).toSeq
+    }.toMap
+    val counts = Bm25.QuerySet.map { case (qid, q) =>
+      qid -> engine.countMatches(q)
+    }.toMap
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futs = (0 until 4).flatMap { _ =>
+      Bm25.QuerySet.map { case (qid, q) =>
+        Future {
+          val rows = engine.topK(q, rounded = true).collect().map(_.toSeq).toSeq
+          val n = engine.countMatches(q)
+          (qid, rows, n)
+        }
+      }
+    }
+    val res = Await.result(Future.sequence(futs),
+      duration.Duration(180, "seconds"))
+    pool.shutdown()
+    res.foreach { case (qid, rows, n) =>
+      assert(rows == serial(qid), s"$qid: concurrent topK diverged")
+      assert(n == counts(qid), s"$qid: concurrent count diverged")
+    }
+  }
+
+  test("percentile ranks: monotone in value, consistent with percentiles") {
+    built
+    for ((qid, q) <- Bm25.QuerySet) {
+      val ranks = engine.lenPercentileRanks(q)
+      // fractions in [0,1], non-decreasing in the probe value
+      assert(ranks.forall { case (_, f) => f >= 0.0 && f <= 1.0 }, qid)
+      assert(ranks.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), qid)
+      // inverse consistency: frac(len at percentile p) >= p
+      val pcts = engine.lenPercentilesRelational(q)
+      for ((p, l) <- pcts) {
+        val fr = engine.lenPercentileRanks(q, Seq(l)).head._2
+        assert(fr >= p - 1e-9, s"$qid: frac($l)=$fr < p=$p")
+      }
+    }
+    assert(engine.lenPercentileRanks("zzzzunknown").isEmpty)
+  }
+
   test("match docs: export set cardinality == count kernel; AND ⊆ OR") {
     built
     for ((qid, q) <- Bm25.QuerySet) {
