@@ -366,31 +366,49 @@ object Bench {
     // sustained concurrent QPS (peak child only): T client threads
     // round-robin the fixed AND query set for a wall window — the
     // query-serving-node headline (per-query latency alone hides how
-    // much scheduling overlaps under concurrent load)
+    // much scheduling overlaps under concurrent load). Reported NEXT TO
+    // a single-client sustained window on the same engine (qps_1) so the
+    // speedup under load is a first-class gauge (VERDICT r4 #1), and
+    // next to the child JVM's own CPU utilization during the concurrent
+    // window (qps_cpu_frac, of `cpus` cores): speedup < T with cpu_frac
+    // ≈ 1.0 is honest core saturation; speedup < T with idle cores is a
+    // serialization defect.
     val qpsJson = if (!phrase) "" else {
       val nThreads = sys.env.getOrElse("SPARK_GRAFT_QPS_THREADS", "8").toInt
       val windowMs = sys.env.getOrElse("SPARK_GRAFT_QPS_MS", "10000").toLong
       Bm25.QuerySet.foreach { case (_, q) => engine.topK(q, rounded = true).collect() }
-      val done = new java.util.concurrent.atomic.AtomicLong(0L)
-      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-      val t0 = System.nanoTime()
-      val futs = (0 until nThreads).map { t =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            var i = t
-            while (!stop.get()) {
-              val (_, q) = Bm25.QuerySet(i % Bm25.QuerySet.size)
-              engine.topK(q, rounded = true).collect()
-              done.incrementAndGet(); i += 1
-            }
+      /** One sustained window at `nt` client threads →
+        * (qps, ownCpuCoresUsed). */
+      def window(nt: Int, ms: Long): (Double, Double) = {
+        val done = new java.util.concurrent.atomic.AtomicLong(0L)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nt)
+        val own0 = readOwnJiffies()
+        val t0 = System.nanoTime()
+        try {
+          val futs = (0 until nt).map { t =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                var i = t
+                while (!stop.get()) {
+                  val (_, q) = Bm25.QuerySet(i % Bm25.QuerySet.size)
+                  engine.topK(q, rounded = true).collect()
+                  done.incrementAndGet(); i += 1
+                }
+              }
+            })
           }
-        })
+          Thread.sleep(ms); stop.set(true)
+          futs.foreach(_.get())
+        } finally pool.shutdown() // ADVICE r4: never leak worker threads
+        val wall = (System.nanoTime() - t0) / 1e9
+        // jiffies are USER_HZ=100 per second on linux
+        val cores = (readOwnJiffies() - own0) / 100.0 / wall
+        (done.get() / wall, cores)
       }
-      Thread.sleep(windowMs); stop.set(true)
-      futs.foreach(_.get()); pool.shutdown()
-      val wall = (System.nanoTime() - t0) / 1e9
-      f""""qps_threads":$nThreads,"qps_sustained":${done.get() / wall}%.1f,"""
+      val (q1, c1) = window(1, windowMs / 2)
+      val (qn, cn) = window(nThreads, windowMs)
+      f""""qps_threads":$nThreads,"qps_sustained":$qn%.1f,"qps_1":$q1%.1f,"qps_speedup":${qn / math.max(q1, 0.001)}%.2f,"qps_cpu_frac":${cn / cpus}%.3f,"qps_1_cpu_frac":${c1 / cpus}%.3f,"""
     }
 
     // plain multi-term OR latency (peak child only): the disjunctive
@@ -737,6 +755,7 @@ object Bench {
         "build_pos_sec", "phrase_p50_ms", "phrase_p95_ms",
         "window_p50_ms", "window_p95_ms", "prefix_p50_ms", "prefix_p95_ms",
         "count_p50_ms", "count_p95_ms", "qps_threads", "qps_sustained",
+        "qps_1", "qps_speedup", "qps_cpu_frac", "qps_1_cpu_frac",
         "or_p50_ms", "or_p95_ms",
         "msm_p50_ms", "sorted_p50_ms",
         "wildcard_p50_ms", "histogram_p50_ms", "syn_p50_ms",

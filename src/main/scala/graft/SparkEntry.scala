@@ -357,7 +357,7 @@ object SparkEntry {
       val indexDir = "/tmp/graft/index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       Index.build(s, dir, indexDir)
       val eng = new QueryEngine(s, Seq(indexDir))
-      SigTerms.significantTerms(s, dir,
+      SigTerms.significantTerms(s, dir, eng,
         (q, n) => eng.topK(q, n, rounded = true))
     }),
 

@@ -211,6 +211,14 @@ object Analyzer {
       t.length > 2 && t.startsWith("/") && t.endsWith("/")
     require(!pieces2.exists(p => !p._2 && p._3 && isRegexPiece(p._1)),
       "negated regex pieces (-/re/) are not supported")
+    // a slash-delimited fragment that is NOT a complete /…/ piece (e.g.
+    // "/a b/" splitting into "/a" and "b/" on whitespace) must not
+    // silently degrade to bare AND terms with the slashes stripped —
+    // reject it, mirroring the boosted/negated regex guards (ADVICE r4)
+    require(!pieces2.exists(p => !p._2 &&
+        (p._1.startsWith("/") || p._1.endsWith("/")) && !isRegexPiece(p._1)),
+      "incomplete regex piece (regexes are single /pattern/ pieces " +
+        "without whitespace)")
     val regexes = pieces2.collect {
       case (t, false, false) if isRegexPiece(t) =>
         t.substring(1, t.length - 1)

@@ -97,16 +97,24 @@ object LinkGraph {
   }
 
   /** (docID, rank, score) — the top-[[TopK]] docs by PageRank
-    * ([[pageRankAll]]'s vector ranked), ties broken by docID. */
+    * ([[pageRankAll]]'s vector ranked), ties broken by docID.
+    *
+    * Ranking is `orderBy(...).limit(TopK)` — a TakeOrderedAndProject
+    * (per-partition bounded heaps + one driver merge), like every
+    * retrieval path — with ranks assigned to the ≤ TopK driver rows.
+    * VERDICT r4 #3: the previous partition-less `row_number()` window
+    * pulled the entire N-row rank vector into ONE task; at corpus scale
+    * that is a single-task sort of the corpus. */
   def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    pageRankAll(spark, sfDir)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("prs").desc, col("docID").asc))
-          .cast("int"))
-      .filter(col("rank") <= TopK)
-      .select(col("rank"), col("docID"), col("prs").as("score"))
-      .orderBy(col("rank"))
+    import spark.implicits._
+    val top = pageRankAll(spark, sfDir)
+      .orderBy(col("prs").desc, col("docID").asc)
+      .limit(TopK)
+      .select(col("docID"), col("prs"))
+      .collect()
+    top.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getDouble(1))
+    }.toSeq.toDF("rank", "docID", "score")
   }
 
   /** (rank, docID, auth, hub) — HITS hubs & authorities over the same
@@ -120,7 +128,7 @@ object LinkGraph {
     * (in-degree ≤ 2, out-degree ≤ 2), so parity with the twin is exact,
     * as [[pageRank]]. */
   def hits(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val e = edges(spark, sfDir).cache()
     val nodes = Corpus.docs(spark, sfDir).select(col("docID").as("id"))
     var h = nodes.withColumn("h", lit(1.0))
@@ -141,15 +149,18 @@ object LinkGraph {
     }
     val amax = a.agg(max(col("a"))).head().getDouble(0)
     val hmax = h.agg(max(col("h"))).head().getDouble(0)
-    a.join(h, "id")
+    // top-k via TakeOrderedAndProject + driver-side rank assignment, not
+    // a partition-less window (VERDICT r4 #3 — see [[pageRank]])
+    val top = a.join(h, "id")
       .withColumn("auth", round(col("a") / amax, 4))
       .withColumn("hub", round(col("h") / hmax, 4))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("auth").desc, col("id").asc))
-          .cast("int"))
-      .filter(col("rank") <= TopK)
-      .select(col("rank"), col("id").as("docID"), col("auth"), col("hub"))
-      .orderBy(col("rank"))
+      .orderBy(col("auth").desc, col("id").asc)
+      .limit(TopK)
+      .select(col("id"), col("auth"), col("hub"))
+      .collect()
+    top.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }.toSeq.toDF("rank", "docID", "auth", "hub")
   }
 
   /** DuckDB twin of [[hits]]: the same unnormalized rounds unrolled as

@@ -1827,7 +1827,20 @@ final class QueryEngine(
     * ([[Bm25.RegexQuerySet]]). */
   def expandRegex(pattern: String, cap: Int = 64): Seq[String] = {
     require(pattern.nonEmpty, "empty pattern")
-    val p = java.util.regex.Pattern.compile(pattern)
+    // user-facing guard rail (ADVICE r4): a malformed pattern fails with
+    // the same IllegalArgumentException contract as every other expansion
+    // guard (not a raw PatternSyntaxException), and a length cap bounds
+    // the construct budget a catastrophic-backtracking pattern gets
+    // against every dictionary term on the driver
+    require(pattern.length <= 256,
+      s"regex pattern too long (${pattern.length} > 256 chars) — narrow it")
+    val p =
+      try java.util.regex.Pattern.compile(pattern)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"malformed regex '$pattern': ${e.getMessage}", e)
+      }
     val expanded = (dictCaches match {
       case Some(ms) =>
         ms.flatMap(_.keysIterator.filter(t => p.matcher(t).matches()))
@@ -2103,6 +2116,17 @@ final class QueryEngine(
     * decode). The oracle twin re-derives every value from the raw
     * corpus, so this entry cross-gates the index METADATA against
     * corpus truth. */
+  /** (term, df) over the whole index — the background document-frequency
+    * frame from the index's OWN dictionary artifact (summed across
+    * constituent indexes; their docID ranges are disjoint). This is the
+    * corpus-df surface aggregations join against ([[SigTerms]]) without
+    * ever re-tokenizing the corpus. */
+  def dictionaryDf(): DataFrame =
+    indexDirs.map(Index.readDictionary(spark, _).toDF())
+      .reduce(_ unionAll _)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+
   def indexStats(): DataFrame = {
     val dict = indexDirs.map(Index.readDictionary(spark, _).toDF())
       .reduce(_ unionAll _)

@@ -541,29 +541,41 @@ object Similarity {
   def sq8Query(e: DataFrame, codes: DataFrame, mns: Array[Double],
                steps: Array[Double], queryIds: Seq[Long] = QueryIds,
                k: Int = K): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val dv = codes.select(col("vec_id"), sq8Dequant(col("code"), mns, steps).as("dv"))
     val q = dv.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("dv").as("qdv"))
     val c = SqCandFactor * k
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    // same per-partition bounded-heap pre-reduction as rankContract: the
-    // approximate frame is corpus-sized, the window only ranks survivors.
-    // The fused Sq8Cosine kernel scores the int codes directly (dequant
-    // inline from the grid) — no dim-wide double array materialized per
-    // corpus row; bit-identical to dequant-HOF + cosine by construction.
+    // ONE corpus-sized pass: the quantized scan with per-partition
+    // bounded heaps (topDPerQuery) — the fused Sq8Cosine kernel scores
+    // the int codes directly (dequant inline from the grid), no dim-wide
+    // double array materialized per corpus row; bit-identical to
+    // dequant-HOF + cosine by construction. The survivor frame is
+    // BOUNDED (≤ partitions · |queries| · c rows), so the global top-c
+    // cut resolves on the driver — no window, no survivor shuffle.
     val approx = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         round(Native.sq8Cosine(col("qdv"), col("code"), mns, steps), 4))
       .select(col("query_id"), col("vec_id"), col("cos"))
-    val cand = topDPerQuery(approx, c)
-      .withColumn("cr", row_number().over(cw))
-      .filter(col("cr") <= c)
-      .select(col("query_id"), col("vec_id"))
+    val cand: Array[(Long, Long)] = topDPerQuery(approx, c)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(c).map(r => (qid, r._2))
+      }.toArray
+    // exact rerank: ONE In()-pushdown scan of the ≤ c·|queries| distinct
+    // candidate ids against the full-precision table, candidate pairs and
+    // query vectors broadcast — the corpus-sized embeddings frame is
+    // never joined by key (VERDICT r4 #5: the previous
+    // `cand.join(e, "vec_id")` shape could shuffle the whole corpus)
+    val candIds = cand.map(_._2).distinct.sorted.toIndexedSeq
+    val candDf = cand.toIndexedSeq.toDF("query_id", "vec_id")
     val qe = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     rankContract(
-      cand.join(e, "vec_id").join(broadcast(qe), "query_id")
+      e.filter(col("vec_id").isin(candIds: _*))
+        .join(broadcast(candDf), "vec_id")
+        .join(broadcast(qe), "query_id")
         .withColumn("cos", round(Native.cosine(col("qv"), col("embedding")), 4))
         .select(col("query_id"), col("vec_id"), col("cos")),
       k)

@@ -1679,7 +1679,7 @@ class IndexQuerySpec extends AnyFunSuite {
   test("significant terms: sampler invariants hold over the fixed set") {
     built
     import graft.operators.SigTerms
-    val rows = SigTerms.significantTerms(spark, sfDir,
+    val rows = SigTerms.significantTerms(spark, sfDir, engine,
       (q, n) => engine.topK(q, n, rounded = true)).collect()
     assert(rows.nonEmpty)
     val byQ = rows.groupBy(_.getString(0))
