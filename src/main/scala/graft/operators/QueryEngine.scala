@@ -54,6 +54,42 @@ object QueryEngine {
       lens(i)
     }
     def size: Int = ids.length
+
+    /** Stateful monotone lookup for ONE kernel invocation: kernels probe
+      * norms at NON-DECREASING candidates, so a galloping cursor answers
+      * each probe in amortized O(1) near-sequential reads instead of a
+      * full log₂(N) cache-missing binary search per scored candidate
+      * (the [[monotoneGate]] argument applied to norms — at 4M docs the
+      * binary search was ~22 random cache lines per candidate, a top-2
+      * term in the kernel CPU profile). Falls back to a full binary
+      * search on a backward probe, so it is CORRECT for any probe order
+      * — only the speed is monotone-tuned. Construct fresh per kernel
+      * invocation; never share across ranges or threads. */
+    def cursor(): Long => Long = {
+      var i = 0
+      docID => {
+        if (i >= ids.length || ids(i) > docID) {
+          // backward (or past-end) probe: full binary search
+          val j = java.util.Arrays.binarySearch(ids, docID)
+          require(j >= 0, s"docID $docID absent from docstats")
+          i = j
+        } else if (ids(i) < docID) {
+          // gallop forward: ids(i + bound/2) < docID invariant
+          var bound = 1
+          while (i + bound < ids.length && ids(i + bound) < docID) bound <<= 1
+          var lo = i + (bound >> 1)
+          var hi = math.min(i + bound, ids.length)
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ids(mid) < docID) lo = mid + 1 else hi = mid
+          }
+          require(lo < ids.length && ids(lo) == docID,
+            s"docID $docID absent from docstats")
+          i = lo
+        }
+        lens(i)
+      }
+    }
   }
 
   // ----------------------------------------------------- posting iterator
@@ -84,9 +120,21 @@ object QueryEngine {
 
     /** Upper-bound quotient of the block containing the current posting:
       * quotient(maxTf, minLen) under the CURRENT avgdl — admissible even
-      * when the segment was encoded against an older corpus. */
-    def blockMaxQ: Double =
-      Bm25.quotient(seg.blockMaxTf(blkIdx), seg.blockMinLen(blkIdx), avgdl)
+      * when the segment was encoded against an older corpus. Cached per
+      * block: the kernels read it once per ALIGNED CANDIDATE (millions
+      * of times for dense terms) while it only changes per block. */
+    private var blockMaxQCached = Double.NaN
+    private var blockMaxQBlk = -1
+    private var blockMaxQSeg = -1
+    def blockMaxQ: Double = {
+      if (blockMaxQBlk != blkIdx || blockMaxQSeg != segIdx) {
+        blockMaxQCached =
+          Bm25.quotient(seg.blockMaxTf(blkIdx), seg.blockMinLen(blkIdx), avgdl)
+        blockMaxQBlk = blkIdx
+        blockMaxQSeg = segIdx
+      }
+      blockMaxQCached
+    }
 
     /** Last docID of the current block (block-max skip horizon). */
     def blockLastDoc: Long = seg.blockLastDoc(blkIdx)
@@ -474,7 +522,13 @@ object QueryEngine {
       a.key < b.key || (a.key == b.key && a.docID > b.docID))
     val heaps = Array.fill(nGroups)(
       new mutable.PriorityQueue[Entry]()(worseFirst.reverse))
-    def keyOf(score: Double): Double = if (rounded) r4(score) else score
+    // last (score → key) memo — see [[conjunctiveRange]]
+    var memoScore = Double.NaN
+    var memoKey = Double.NaN
+    def keyOf(score: Double): Double =
+      if (!rounded) score
+      else if (score == memoScore) memoKey
+      else { memoScore = score; memoKey = r4(score); memoKey }
     def thresholdOf(g: Int): Double =
       if (heaps(g).size < nPerGroup) Double.NegativeInfinity
       else if (rounded) heaps(g).head.key - 0.00005
@@ -535,16 +589,24 @@ object QueryEngine {
                 (termsSorted(i).idf * (tfv * 2.2) / (tfv + norm))
               i += 1
             }
-            val key = keyOf(score)
             val h = heaps(g)
-            if (h.size < nPerGroup) {
-              h.enqueue(Entry(key, candidate, score))
-              if (h.size == nPerGroup) { notFull -= 1; recomputeMinTh() }
-            } else {
+            // exact-score fast reject before r4 — see [[conjunctiveRange]]
+            val rejectFast = h.size >= nPerGroup && {
               val w = h.head
-              if (key > w.key || (key == w.key && candidate < w.docID)) {
-                h.dequeue(); h.enqueue(Entry(key, candidate, score))
-                recomputeMinTh()
+              if (rounded) score < w.key - 0.00005
+              else score < w.key || (score == w.key && candidate > w.docID)
+            }
+            if (!rejectFast) {
+              val key = keyOf(score)
+              if (h.size < nPerGroup) {
+                h.enqueue(Entry(key, candidate, score))
+                if (h.size == nPerGroup) { notFull -= 1; recomputeMinTh() }
+              } else {
+                val w = h.head
+                if (key > w.key || (key == w.key && candidate < w.docID)) {
+                  h.dequeue(); h.enqueue(Entry(key, candidate, score))
+                  recomputeMinTh()
+                }
               }
             }
           }
@@ -692,7 +754,16 @@ object QueryEngine {
     val worseFirst = Ordering.fromLessThan[Entry]((a, b) =>
       a.key < b.key || (a.key == b.key && a.docID > b.docID))
     val heap = new mutable.PriorityQueue[Entry]()(worseFirst.reverse) // dequeue = worst
-    def keyOf(score: Double): Double = if (rounded) r4(score) else score
+    // r4 is a JBigDecimal round — hundreds of ns. Memoize the last
+    // (score → key) pair: synthetic/real corpora alike repeat scores
+    // heavily (few distinct (tf, len) combos), so most candidates that
+    // survive the fast-reject below hit the memo.
+    var memoScore = Double.NaN
+    var memoKey = Double.NaN
+    def keyOf(score: Double): Double =
+      if (!rounded) score
+      else if (score == memoScore) memoKey
+      else { memoScore = score; memoKey = r4(score); memoKey }
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity
       else if (rounded) heap.head.key - 0.00005
@@ -755,15 +826,27 @@ object QueryEngine {
               (termsSorted(i).idf * (tfv * 2.2) / (tfv + norm))
             i += 1
           }
-          val key = keyOf(score)
-          // search-after gate: ranked at-or-before the cursor → earlier
-          // page, skip (both tests false when afterKey is NaN = no cursor)
-          if (!(key > afterKey || (key == afterKey && candidate <= afterDoc))) {
-            if (heap.size < k) heap.enqueue(Entry(key, candidate, score))
-            else {
-              val w = heap.head
-              if (key > w.key || (key == w.key && candidate < w.docID)) {
-                heap.dequeue(); heap.enqueue(Entry(key, candidate, score))
+          // fast reject on the EXACT score before any rounding: with a
+          // full heap, a candidate whose exact score is strictly below
+          // the rounded threshold band (rounded: |r4(s) − s| ≤ 0.00005;
+          // unrounded: key = s) can never displace the heap root — skip
+          // the r4 entirely. This is the hot exit for dense terms.
+          val rejectFast = heap.size >= k && {
+            val w = heap.head
+            if (rounded) score < w.key - 0.00005
+            else score < w.key || (score == w.key && candidate > w.docID)
+          }
+          if (!rejectFast) {
+            val key = keyOf(score)
+            // search-after gate: ranked at-or-before the cursor → earlier
+            // page, skip (both tests false when afterKey is NaN = no cursor)
+            if (!(key > afterKey || (key == afterKey && candidate <= afterDoc))) {
+              if (heap.size < k) heap.enqueue(Entry(key, candidate, score))
+              else {
+                val w = heap.head
+                if (key > w.key || (key == w.key && candidate < w.docID)) {
+                  heap.dequeue(); heap.enqueue(Entry(key, candidate, score))
+                }
               }
             }
           }
@@ -1054,12 +1137,26 @@ object QueryEngine {
     val worseFirst = Ordering.fromLessThan[Entry]((a, b) =>
       a.key < b.key || (a.key == b.key && a.docID > b.docID))
     val heap = new mutable.PriorityQueue[Entry]()(worseFirst.reverse)
-    def keyOf(score: Double): Double = if (rounded) r4(score) else score
+    // last (score → key) memo + exact-score fast reject — the same two
+    // hot-path cuts as [[conjunctiveRange]] (r4 is a JBigDecimal round)
+    var memoScore = Double.NaN
+    var memoKey = Double.NaN
+    def keyOf(score: Double): Double =
+      if (!rounded) score
+      else if (score == memoScore) memoKey
+      else { memoScore = score; memoKey = r4(score); memoKey }
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity
       else if (rounded) heap.head.key - 0.00005
       else heap.head.key
     def offer(docID: Long, score: Double): Unit = {
+      if (heap.size >= k) {
+        val w = heap.head
+        val rejectFast =
+          if (rounded) score < w.key - 0.00005
+          else score < w.key || (score == w.key && docID > w.docID)
+        if (rejectFast) return
+      }
       val key = keyOf(score)
       // search-after gate (both tests false when afterKey is NaN)
       if (key > afterKey || (key == afterKey && docID <= afterDoc)) return
@@ -1548,7 +1645,7 @@ final class QueryEngine(
         val norms = normsBc.get.value
         val nG = groups.names.size
         if (totalDf <= localWandUpTo)
-          QueryEngine.groupedRange(byTerm, termCtx, norms.apply, avgdl,
+          QueryEngine.groupedRange(byTerm, termCtx, norms.cursor(), avgdl,
             0L, Long.MaxValue, n, rounded,
             QueryEngine.monotoneGroupCursor(groups.ids, groups.groups), nG)
         else {
@@ -1564,7 +1661,7 @@ final class QueryEngine(
             localPool.submit(
               new java.util.concurrent.Callable[Seq[(Int, ScoredDoc)]] {
                 def call(): Seq[(Int, ScoredDoc)] =
-                  QueryEngine.groupedRange(byTerm, termCtx, norms.apply,
+                  QueryEngine.groupedRange(byTerm, termCtx, norms.cursor(),
                     avgdl, r * rsz, (r + 1L) * rsz, n, rounded,
                     QueryEngine.monotoneGroupCursor(groups.ids, groups.groups),
                     nG)
@@ -2647,7 +2744,7 @@ final class QueryEngine(
       val hits: Seq[(Long, Long)] =
         if (totalDf <= localWandUpTo)
           QueryEngine.sortedRange(byTerm, leaderFirst, av,
-            0L, Long.MaxValue, kk, norms.apply)
+            0L, Long.MaxValue, kk, norms.cursor())
         else {
           val nr = math.max(1L, math.min(4L * localThreads,
             math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
@@ -2656,7 +2753,7 @@ final class QueryEngine(
             localPool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
               def call(): Seq[(Long, Long)] =
                 QueryEngine.sortedRange(byTerm, leaderFirst, av,
-                  r * rsz, (r + 1L) * rsz, kk, norms.apply)
+                  r * rsz, (r + 1L) * rsz, kk, norms.cursor())
             })
           }.flatMap(_.get())
         }
@@ -2694,7 +2791,7 @@ final class QueryEngine(
         else {
           val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
           QueryEngine.sortedRange(byTerm, lf, av,
-            0L, Long.MaxValue, kk, bc.value.apply).iterator
+            0L, Long.MaxValue, kk, bc.value.cursor()).iterator
         }
       }
     } else {
@@ -2720,7 +2817,7 @@ final class QueryEngine(
               .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
             val lo = rid.toLong * rs
             QueryEngine.sortedRange(byTerm, lf, av,
-              lo, lo + rs, kk, bc.value.apply).iterator
+              lo, lo + rs, kk, bc.value.cursor()).iterator
           }
         case None =>
           val normsByRange = allDocStats
@@ -3099,7 +3196,7 @@ final class QueryEngine(
       val norms = normsBc.get.value
       val hits: Seq[ScoredDoc] =
         if (totalDf <= localWandUpTo)
-          wandFn(byTerm, termCtx, norms.apply, avgdl,
+          wandFn(byTerm, termCtx, norms.cursor(), avgdl,
             0L, Long.MaxValue, k, rounded)
         else {
           // pooled kernel: shard the docID space exactly like the
@@ -3113,7 +3210,7 @@ final class QueryEngine(
           (0 until nr).map { r =>
             localPool.submit(new java.util.concurrent.Callable[Seq[ScoredDoc]] {
               def call(): Seq[ScoredDoc] =
-                wandFn(byTerm, termCtx, norms.apply, avgdl,
+                wandFn(byTerm, termCtx, norms.cursor(), avgdl,
                   r * rsz, (r + 1L) * rsz, kk, rnd)
             })
           }.flatMap(_.get())
@@ -3200,11 +3297,11 @@ final class QueryEngine(
           val byTerm = sideBc.value + (dt -> mySegs.sortBy(_.minDoc))
           val norms = bc.value
           if (rangeDir == null)
-            wf(byTerm, tc, norms.apply, av, 0L, Long.MaxValue, kk, rnd).iterator
+            wf(byTerm, tc, norms.cursor(), av, 0L, Long.MaxValue, kk, rnd).iterator
           else
             QueryEngine.ownedIntervals(mySegs, rangeDir._1, rangeDir._2)
               .iterator.flatMap { case (lo, hi) =>
-                wf(byTerm, tc, norms.apply, av, lo, hi, kk, rnd) }
+                wf(byTerm, tc, norms.cursor(), av, lo, hi, kk, rnd) }
         }
       }
     } else {
@@ -3227,7 +3324,7 @@ final class QueryEngine(
               .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
             val lo = rid.toLong * rs
             val norms = bc.value
-            wandFn(byTerm, termCtx, norms.apply, avgdl, lo, lo + rs, kk, rnd)
+            wandFn(byTerm, termCtx, norms.cursor(), avgdl, lo, lo + rs, kk, rnd)
               .iterator
           }
         case None =>
@@ -3323,9 +3420,9 @@ final class QueryEngine(
       val norms = normsBc.get.value
       val hits: Seq[ScoredDoc] =
         if (totalDf <= localWandUpTo)
-          wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.apply,
+          wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.cursor(),
               avgdl, 0L, Long.MaxValue), termCtx,
-            norms.apply, avgdl, 0L, Long.MaxValue, k, rounded)
+            norms.cursor(), avgdl, 0L, Long.MaxValue, k, rounded)
         else {
           val nr = math.max(1L, math.min(4L * localThreads,
             math.max(localThreads.toLong, totalDf / 25_000L + 1))).toInt
@@ -3333,9 +3430,9 @@ final class QueryEngine(
           (0 until nr).map { r =>
             localPool.submit(new java.util.concurrent.Callable[Seq[ScoredDoc]] {
               def call(): Seq[ScoredDoc] =
-                wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.apply,
+                wandFn(QueryEngine.mergeAllGroups(specs, byReal, norms.cursor(),
                     avgdl, r * rsz, (r + 1L) * rsz),
-                  termCtx, norms.apply, avgdl, r * rsz, (r + 1L) * rsz,
+                  termCtx, norms.cursor(), avgdl, r * rsz, (r + 1L) * rsz,
                   k, rounded)
             })
           }.flatMap(_.get())
@@ -3395,8 +3492,8 @@ final class QueryEngine(
           val norms = bc.value
           QueryEngine.ownedIntervals(mySegs, rangeDir._1, rangeDir._2)
             .iterator.flatMap { case (lo, hi) =>
-              wf(QueryEngine.mergeAllGroups(sp, byReal, norms.apply, av, lo, hi),
-                tc, norms.apply, av, lo, hi, k, rnd)
+              wf(QueryEngine.mergeAllGroups(sp, byReal, norms.cursor(), av, lo, hi),
+                tc, norms.cursor(), av, lo, hi, k, rnd)
             }
         }
       }
@@ -3425,8 +3522,8 @@ final class QueryEngine(
             .map { case (t, ss) => t -> ss.sortBy(_.minDoc) }
           val lo = rid.toLong * rs
           val norms = bc.value
-          wf(QueryEngine.mergeAllGroups(sp, byReal, norms.apply, av, lo, lo + rs),
-            tc, norms.apply, av, lo, lo + rs, k, rnd).iterator
+          wf(QueryEngine.mergeAllGroups(sp, byReal, norms.cursor(), av, lo, lo + rs),
+            tc, norms.cursor(), av, lo, lo + rs, k, rnd).iterator
         }
       case None =>
         val normsByRange = allDocStats.groupByKey(d => (d.docID / rs).toInt)
