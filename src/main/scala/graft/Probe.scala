@@ -61,6 +61,32 @@ object Probe {
       println(f"[probe] $qid p50=${ts(2)}%.1f ms")
     }
 
+    // optional families against the same index (positional for phrase)
+    if (args.contains("phrase")) {
+      Bm25.PhraseQuerySet.foreach { case (_, q) =>
+        engine.topKPhrase(q, rounded = true).collect() }
+      Bm25.PhraseQuerySet.foreach { case (qid, q) =>
+        val ts = (0 until 5).map { _ =>
+          val s = System.nanoTime()
+          engine.topKPhrase(q, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        println(f"[probe] phrase $qid p50=${ts(2)}%.1f max=${ts.last}%.1f ms")
+      }
+    }
+    if (args.contains("or")) {
+      Bm25.QuerySet.foreach { case (_, q) =>
+        engine.topKOr(q, rounded = true).collect() }
+      Bm25.QuerySet.foreach { case (qid, q) =>
+        val ts = (0 until 5).map { _ =>
+          val s = System.nanoTime()
+          engine.topKOr(q, rounded = true).collect()
+          (System.nanoTime() - s) / 1e6
+        }.sorted
+        println(f"[probe] or $qid p50=${ts(2)}%.1f max=${ts.last}%.1f ms")
+      }
+    }
+
     // sustained windows at a thread ladder
     for (nt <- Seq(1, 2, 4, 8, 16)) {
       val done = new java.util.concurrent.atomic.AtomicLong(0L)

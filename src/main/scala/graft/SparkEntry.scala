@@ -42,6 +42,18 @@ object SparkEntry {
     eng.topKAllFiltered(eng.prepareLangFacet(lang), Bm25.K, orMode = false)
   }
 
+  /** Repo-faceted retrieval: the SECOND keyword doc-values dimension
+    * (`repo`, VERDICT r4 #8) through the same per-field resolver and
+    * artifact — facet prep reads only the field-partitioned docvals. */
+  def indexedTopKRepoFacet(spark: SparkSession, sfDir: String,
+                           repo: String): DataFrame = {
+    val indexDir = "/tmp/graft/index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Index.build(spark, sfDir, indexDir)
+    val eng = new QueryEngine(spark, Seq(indexDir))
+    eng.topKAllFiltered(eng.prepareKeywordFacet("repo", repo),
+      Bm25.K, orMode = false)
+  }
+
   /** Boolean-NOT retrieval: the fixed NOT query set, negated terms
     * excluded by anti-posting iterators inside the WAND gate. */
   def indexedTopKNot(spark: SparkSession, sfDir: String): DataFrame = {
@@ -246,10 +258,9 @@ object SparkEntry {
     Index.build(spark, sfDir, indexDir,
       Index.BuildParams(storePositions = true))
     val eng = new QueryEngine(spark, Seq(indexDir))
-    val resolver = (f: String, v: String) => {
-      require(f == "lang", s"unknown field: $f")
-      eng.prepareLangFacet(v) // index-side doc-values, no corpus access
-    }
+    // index-side per-field doc-values, no corpus access: any field in
+    // Index.KeywordFields (lang, repo) resolves through one call
+    val resolver = (f: String, v: String) => eng.prepareKeywordFacet(f, v)
     eng.searchFieldAll(resolver)
   }
 
@@ -342,6 +353,10 @@ object SparkEntry {
     // -- numeric doc-values range facet: len:[32 TO 79] from the
     // index's own docStats, no corpus join
     "bm25_topk_lenrange" -> ((s, dir) => indexedTopKLenRange(s, dir, 32, 79)),
+
+    // -- SECOND keyword facet dimension: repo-faceted result set from
+    //    the field-partitioned docvals artifact (same resolver as lang)
+    "bm25_topk_repofacet" -> ((s, dir) => indexedTopKRepoFacet(s, dir, "src3")),
 
     // -- BM25F two-field (path + content) ranking, integer field weights
     "bm25f_topk_oracle" -> ((s, dir) => Bm25.oracleFieldedTopK(s, dir)),
@@ -654,6 +669,8 @@ object SparkEntry {
     "bm25_topk_filtered" -> Bm25.oracleSqlTopK(langFilter = "de"),
     "bm25_topk_lenrange" -> Bm25.oracleSqlTopK(
       docPred = "docID IN (SELECT docID FROM dl WHERE len BETWEEN 32 AND 79)"),
+    "bm25_topk_repofacet" -> Bm25.oracleSqlTopK(
+      docPred = "docID IN (SELECT doc_id FROM documents WHERE source = 'src3')"),
     "bm25f_topk_oracle" -> Bm25.oracleSqlFieldedTopK(),
     "bm25f_topk_indexed" -> Bm25.oracleSqlFieldedTopK(),
     "bm25_syn_oracle" -> Bm25.oracleSqlSynTopK(),

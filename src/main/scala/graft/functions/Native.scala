@@ -47,6 +47,16 @@ object Native {
                 mns: Array[Double], steps: Array[Double]): Column =
     ColumnShim.column(Sq8Cosine(
       ColumnShim.expression(q), ColumnShim.expression(code), mns, steps))
+
+  /** Codegen'd per-document term-frequency map (see [[TokenCounts]]):
+    * array<struct<term, tf>> computed row-locally in one tokenize pass. */
+  def tokenCounts(c: Column): Column =
+    ColumnShim.column(TokenCounts(ColumnShim.expression(c)))
+
+  /** Positional variant: array<struct<term, tf, positions>> (see
+    * [[TokenCountsPos]]). */
+  def tokenCountsPos(c: Column): Column =
+    ColumnShim.column(TokenCountsPos(ColumnShim.expression(c)))
 }
 
 /** Wraparound-multiply hash mix `a·x + b (mod 2⁶⁴)` — the classic
@@ -144,6 +154,146 @@ object TokenizerKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+}
+
+/** Kernel behind [[TokenCounts]]/[[TokenCountsPos]]: the
+  * [[TokenizerKernel]] byte scan, with each token folded into a
+  * first-occurrence-ordered (term → tf [, positions]) table instead of
+  * an output array — the per-DOCUMENT term-frequency aggregation
+  * computed row-locally. This is what lets the index build's stage 1
+  * skip its (docID, term) grouping SHUFFLE entirely: every token of a
+  * document lives in one source row, so grouping by (docID, term) never
+  * needed an exchange — the 93M-row/3.6 GB stage-1 shuffle was pure
+  * overhead (VERDICT r4 #2: the build's 2→8-core scaling was
+  * bus-bound, and stage 1 was the dominant byte mover).
+  * Token-for-token identical to grouping the [[TokenizerKernel]] output
+  * by construction (same scan, same slices); positions are emitted in
+  * scan order, i.e. already sorted ascending. */
+object TokenCountsKernel {
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def counts(s: org.apache.spark.unsafe.types.UTF8String,
+             withPositions: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lowered = s.toLowerCase
+    val b = lowered.getBytes
+    val n = b.length
+    val order = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.unsafe.types.UTF8String](8)
+    val tfs = new scala.collection.mutable.ArrayBuffer[Long](8)
+    val poss =
+      if (withPositions)
+        new scala.collection.mutable.ArrayBuffer[
+          scala.collection.mutable.ArrayBuffer[Long]](8)
+      else null
+    val idx = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var i = 0
+    var tokIdx = 0L
+    while (i < n) {
+      while (i < n && !isTok(b(i))) i += 1
+      val start = i
+      while (i < n && isTok(b(i))) i += 1
+      if (i > start) {
+        val t = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, start, i - start)
+        val id = idx.get(t)
+        if (id == null) {
+          idx.put(t, order.length)
+          order += t
+          tfs += 1L
+          if (poss != null) {
+            val pb = new scala.collection.mutable.ArrayBuffer[Long](4)
+            pb += tokIdx
+            poss += pb
+          }
+        } else {
+          tfs(id) += 1L
+          if (poss != null) poss(id) += tokIdx
+        }
+        tokIdx += 1L
+      }
+    }
+    val out = new Array[Any](order.length)
+    var j = 0
+    while (j < order.length) {
+      out(j) =
+        if (poss == null) new GenericInternalRow(Array[Any](order(j), tfs(j)))
+        else new GenericInternalRow(Array[Any](order(j), tfs(j),
+          new GenericArrayData(poss(j).toArray)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-document term frequencies as ONE native expression:
+  * `array<struct<term: string, tf: bigint>>` in first-occurrence order.
+  * `explode` + a struct projection turns it into the (docID, term, tf)
+  * frame — with NO grouping exchange (see [[TokenCountsKernel]]). */
+case class TokenCounts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCountsKernel.counts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      withPositions = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenCountsKernel.counts($c, false);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_counts"
+}
+
+/** Positional variant of [[TokenCounts]]:
+  * `array<struct<term, tf, positions: array<bigint>>>` — positions are
+  * the 0-based token indexes of the term, ascending by construction. */
+case class TokenCountsPos(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false),
+      StructField("positions",
+        ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCountsKernel.counts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      withPositions = true)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenCountsKernel.counts($c, true);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsPos =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_counts_pos"
 }
 
 /** The analyzer chain `filter(split(lower(s), "[^a-z0-9]+"), _ != '')`

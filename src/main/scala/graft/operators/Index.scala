@@ -20,7 +20,7 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Layout on disk (all Iceberg-shaped partitioned Parquet):
   *   indexDir/tf          (docID, term, tf)            stage "tf"
-  *   indexDir/docvals     (docID, lang)                stage "tf"
+  *   indexDir/docvals     (value, docID) partitionBy(field)  stage "tf"
   *   indexDir/docstats    (docID, len)                 stage "docstats"
   *   indexDir/stats       (n, avgdl, maxDoc) 1 row     stage "docstats"
   *   indexDir/dictionary  (term, df, bucket)           stage "dictionary"
@@ -141,8 +141,10 @@ object Index {
     * schema changes: resume markers from an older layout must not let
     * build() skip stages and then fail at query time on missing columns
     * (ADVICE r1). Version 2 = blockMaxTf/blockMinLen block directory +
-    * minDoc/sumLen corpus stats + optional positions. */
-  val FormatVersion = "3"
+    * minDoc/sumLen corpus stats + optional positions. Version 4 =
+    * per-FIELD keyword doc-values layout (field-partitioned docvals
+    * carrying lang AND repo). */
+  val FormatVersion = "4"
 
   /** Stamp (or validate) the format version of an index dir. A missing
     * or mismatched version means "stale persistent dir": all resume
@@ -239,16 +241,16 @@ object Index {
       val tf0 = if (p.storePositions) Bm25.termFreqWithPositions(docs)
                 else Bm25.termFreq(docs)
       tf0.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf")
-      // keyword doc-values side table: (docID, lang) from a column-pruned
-      // second pass over the source (2 tiny columns — no re-tokenize).
-      // Facet prep reads THIS artifact, never the corpus
-      // (QueryEngine.prepareLangFacet); sorted by (lang, docID) so a
-      // facet-value filter prunes parquet row groups and the gate array
-      // arrives docID-sorted per value.
-      docs.select(col("docID"), col("lang"))
-        .repartitionByRange(p.partitions, col("lang"), col("docID"))
-        .sortWithinPartitions(col("lang"), col("docID"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docvals")
+      // keyword doc-values side table, ONE partition per FIELD (the
+      // Lucene per-field doc-values shape): rows (field, value, docID)
+      // from a column-pruned second pass over the source (tiny columns —
+      // no re-tokenize). Facet prep reads THIS artifact, never the
+      // corpus (QueryEngine.prepareKeywordFacet): the field predicate
+      // prunes whole DIRECTORIES (partitionBy), the value predicate
+      // prunes row groups within them ((value, docID)-sorted layout),
+      // and the gate array arrives docID-sorted per value. Adding a
+      // facet dimension = one more name in [[KeywordFields]].
+      writeDocVals(docValsRows(docs), indexDir, p.partitions)
       val lin = spark.read.parquet(s"$indexDir/tf")
         .groupBy(spark_partition_id().as("partitionId"))
         .agg(count(lit(1)).as("rowCount"), sum(col("tf")).as("tokenCount"))
@@ -330,7 +332,8 @@ object Index {
       val dict0 = spark.read.parquet(s"$indexDir/dictionary")
       val doclen0 = spark.read.parquet(s"$indexDir/docstats")
       // metadata-only counts decide the join strategies
-      val doclenSmall = doclen0.count() <= p.broadcastDocStatsUpTo
+      val doclenSmall = timed("p4.counts") {
+        doclen0.count() <= p.broadcastDocStatsUpTo }
       val dictSmall = dict0.count() <= p.broadcastDictUpTo
 
       // Salting (north rule): terms with df > saltThreshold are split on
@@ -365,7 +368,7 @@ object Index {
         // docstats is range-partitioned + sorted by docID (stage 2), so
         // blob-concatenation in first-docID order is already globally
         // sorted; a pair-sort fallback guards the invariant.
-        val (normsBc, maxDoc, maxLen) = {
+        val (normsBc, maxDoc, maxLen) = timed("p4.norms") {
           val blobs = doclen0.select(col("docID"), col("len")).as[(Long, Long)]
             .mapPartitions { it =>
               val ib = Array.newBuilder[Long]
@@ -414,7 +417,7 @@ object Index {
         // 93M-row sortWithinPartitions radix-sorts (long, long) prefixes;
         // term/df/bucket are recovered post-shuffle by INDEXING the
         // broadcast arrays (no hash relation at all on the big side).
-        val (termArr, dfArr, bucketArr) = {
+        val (termArr, dfArr, bucketArr) = timed("p4.dict") {
           val rows = dict0.select(col("term"), col("df"), col("bucket"))
             .as[(String, Long, Int)].collect().sortBy(_._1)
           (rows.map(_._1), rows.map(_._2), rows.map(_._3))
@@ -500,16 +503,20 @@ object Index {
           .mapPartitions(it => encodePartition(it, p, m))
       }
 
-      segs.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(s"$indexDir/postings")
+      timed("p4.write") {
+        segs.write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket").parquet(s"$indexDir/postings")
+      }
       stageCleanup() // drop the norms broadcast once the write is durable
-      val lin = spark.read.parquet(s"$indexDir/postings")
-        .groupBy(col("bucket").as("partitionId"))
-        .agg(count(lit(1)).as("rowCount"), sum(col("count")).as("tokenCount"))
-        .select(lit("postings").as("stage"), col("partitionId"),
-          col("rowCount"), col("tokenCount"), lit("complete").as("status"))
-        .as[LineageRow]
-      appendLineage(spark, indexDir, lin)
+      timed("p4.lineage") {
+        val lin = spark.read.parquet(s"$indexDir/postings")
+          .groupBy(col("bucket").as("partitionId"))
+          .agg(count(lit(1)).as("rowCount"), sum(col("count")).as("tokenCount"))
+          .select(lit("postings").as("stage"), col("partitionId"),
+            col("rowCount"), col("tokenCount"), lit("complete").as("status"))
+          .as[LineageRow]
+        appendLineage(spark, indexDir, lin)
+      }
       mark(indexDir, "postings")
     }
   }
@@ -607,6 +614,28 @@ object Index {
 
   /** Keyword doc-values artifact (docID, lang) — the facet-prep source
     * (the index answers its own facets; the corpus is never touched). */
+  /** Keyword doc-values fields materialized by every build: each is a
+    * string column of the input docs frame (input_hint shape). */
+  val KeywordFields: Seq[String] = Seq("lang", "repo")
+
+  /** (field, value, docID) rows of the keyword doc-values artifact for
+    * an input docs frame — one row per (doc, field). */
+  def docValsRows(docs: DataFrame): DataFrame =
+    KeywordFields.map(f =>
+      docs.select(lit(f).as("field"), col(f).cast("string").as("value"),
+        col("docID")))
+      .reduce(_ unionAll _)
+
+  /** Write the keyword doc-values artifact: field-partitioned,
+    * (value, docID)-sorted within each field (see the stage-1 writer
+    * note). Shared by the build and LSM compaction. */
+  def writeDocVals(rows: DataFrame, indexDir: String, partitions: Int): Unit =
+    rows
+      .repartitionByRange(partitions, col("field"), col("value"), col("docID"))
+      .sortWithinPartitions(col("field"), col("value"), col("docID"))
+      .write.mode(SaveMode.Overwrite).partitionBy("field")
+      .parquet(s"$indexDir/docvals")
+
   def readDocVals(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docvals")
 

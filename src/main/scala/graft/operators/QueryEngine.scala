@@ -2385,31 +2385,46 @@ final class QueryEngine(
       .select(col("docID")))
   }
 
-  /** Doc-values KEYWORD facet — the search-service `lang:value` filter
+  /** Doc-values KEYWORD facet — the search-service `field:value` filter
     * resolved from the index's OWN docvals artifact, no corpus access
     * (the Lucene keyword doc-values filter; the len twin is
-    * [[prepareLenRange]]). The artifact is written (lang, docID)-sorted,
-    * so the equality predicate prunes parquet row groups and the gate
-    * ids arrive docID-sorted. Resolves through [[prepareFilter]] — the
-    * full gate/complement/postFilter cap ladder — so it composes with
-    * every gated surface. A deployment faceting a different keyword
-    * column (source, license, mime) wires it through this same shape. */
-  def prepareLangFacet(lang: String): Facet =
-    prepareFilter(langFacetDocs(lang))
+    * [[prepareLenRange]]). The artifact is FIELD-partitioned and
+    * (value, docID)-sorted within each field, so the field predicate
+    * prunes whole directories, the value predicate prunes parquet row
+    * groups and the gate ids arrive docID-sorted. Resolves through
+    * [[prepareFilter]] — the full gate/complement/postFilter cap ladder
+    * — so it composes with every gated surface. Every name in
+    * [[Index.KeywordFields]] (`lang`, `repo`) is faceted by this one
+    * resolver; a deployment faceting another keyword column (license,
+    * mime) adds the name there and re-builds. */
+  def prepareKeywordFacet(field: String, value: String): Facet =
+    prepareFilter(keywordFacetDocs(field, value))
 
-  /** The allowed-docID frame behind [[prepareLangFacet]] — exposed for
-    * surfaces that resolve their own filter ladder (phrase facets). */
-  def langFacetDocs(lang: String): DataFrame =
+  /** The allowed-docID frame behind [[prepareKeywordFacet]] — exposed
+    * for surfaces that resolve their own filter ladder (phrase facets). */
+  def keywordFacetDocs(field: String, value: String): DataFrame = {
+    require(Index.KeywordFields.contains(field),
+      s"unknown keyword doc-values field: $field (have ${Index.KeywordFields.mkString(", ")})")
     indexDirs.map(d => Index.readDocVals(spark, d)).reduce(_ unionAll _)
-      .filter(col("lang") === lang).select(col("docID"))
-
-  /** Distinct facet values of the keyword doc-values column, ascending —
-    * the facet-navigation vocabulary, from the index's own artifact. */
-  def langFacetValues(): Seq[String] = {
-    import spark.implicits._
-    indexDirs.map(d => Index.readDocVals(spark, d)).reduce(_ unionAll _)
-      .select(col("lang")).distinct().as[String].collect().sorted.toSeq
+      .filter(col("field") === field && col("value") === value)
+      .select(col("docID"))
   }
+
+  /** Distinct facet values of one keyword doc-values field, ascending —
+    * the facet-navigation vocabulary, from the index's own artifact. */
+  def facetValues(field: String): Seq[String] = {
+    import spark.implicits._
+    require(Index.KeywordFields.contains(field),
+      s"unknown keyword doc-values field: $field")
+    indexDirs.map(d => Index.readDocVals(spark, d)).reduce(_ unionAll _)
+      .filter(col("field") === field)
+      .select(col("value")).distinct().as[String].collect().sorted.toSeq
+  }
+
+  /** `lang` convenience wrappers over the per-field resolver. */
+  def prepareLangFacet(lang: String): Facet = prepareKeywordFacet("lang", lang)
+  def langFacetDocs(lang: String): DataFrame = keywordFacetDocs("lang", lang)
+  def langFacetValues(): Seq[String] = facetValues("lang")
 
   /** Doc→length-bucket [[Groups]] for [[lenHistogram]]: bucket =
     * ⌊len/width⌋ over the index's own docStats doc-values column,
@@ -2690,6 +2705,8 @@ final class QueryEngine(
   def matchStatsAll(): DataFrame = {
     val docvals = indexDirs.map(d => Index.readDocVals(spark, d))
       .reduce(_ unionAll _)
+      .filter(col("field") === "lang")
+      .select(col("docID"), col("value").as("lang"))
     Bm25.QuerySet.flatMap { case (qid, q) =>
       val row = matchDocs(q)
         .join(allDocStats.select(col("docID"), col("len")), "docID")

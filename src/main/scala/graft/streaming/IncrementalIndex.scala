@@ -134,24 +134,19 @@ object IncrementalIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/tf")
       // keyword doc-values union rides the same disjoint-docID argument
-      // as tf (and the same tombstone anti-join)
+      // as tf (and the same tombstone anti-join); written through the
+      // shared field-partitioned writer so compacted indexes keep the
+      // per-field layout
       val dv = dirs.map(d => spark.read.parquet(s"$d/docvals"))
         .reduce(_ unionByName _)
-      tombstoned.map { t =>
+      val dvOut = tombstoned.map { t =>
         dv.join(
           org.apache.spark.sql.functions.broadcast(
             t.select(org.apache.spark.sql.functions.col("docID")
               .cast("long").as("docID")).distinct()),
           Seq("docID"), "left_anti")
       }.getOrElse(dv)
-        .repartitionByRange(p.partitions,
-          org.apache.spark.sql.functions.col("lang"),
-          org.apache.spark.sql.functions.col("docID"))
-        .sortWithinPartitions(
-          org.apache.spark.sql.functions.col("lang"),
-          org.apache.spark.sql.functions.col("docID"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$outDir/docvals")
+      Index.writeDocVals(dvOut, outDir, p.partitions)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/_done_tf"), Array.emptyByteArray)
     }

@@ -1715,6 +1715,27 @@ class IndexQuerySpec extends AnyFunSuite {
     assert(collectTopK(engine.topKFiltered("window",
       engine.prepareLangFacet("zz"), Bm25.K, rounded = false,
       orMode = false)).isEmpty)
+    // SECOND facet dimension (repo) through the same per-field resolver:
+    // identical to the corpus-derived gate, vocabulary exact, unknown ∅
+    val repoV = engine.facetValues("repo")
+    val corpusRepos = Corpus.docs(spark, sfDir).select(col("repo"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(repoV == corpusRepos)
+    val someRepo = repoV.head
+    val corpusRepoAllowed = Corpus.docs(spark, sfDir)
+      .filter(col("repo") === someRepo).select(col("docID"))
+    for ((_, qtext) <- Bm25.QuerySet.take(3)) {
+      assert(collectTopK(engine.topKFiltered(qtext,
+          engine.prepareKeywordFacet("repo", someRepo), Bm25.K,
+          rounded = false, orMode = false)) ==
+        collectTopK(engine.topKFiltered(qtext, corpusRepoAllowed)), s"'$qtext'")
+    }
+    assert(collectTopK(engine.topKFiltered("window",
+      engine.prepareKeywordFacet("repo", "nosuchrepo"), Bm25.K,
+      rounded = false, orMode = false)).isEmpty)
+    intercept[IllegalArgumentException] {
+      engine.prepareKeywordFacet("license", "mit")
+    }
   }
 
   test("len percentiles: nearest-rank exactness vs an in-test sort; monotone in p") {
