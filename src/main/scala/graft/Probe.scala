@@ -87,6 +87,33 @@ object Probe {
       }
     }
 
+    // SQ8-vs-brute ANN latency at bench scale (args: ann <corpusDir>)
+    if (args.contains("ann")) {
+      import graft.operators.Similarity
+      val corpusDir = args(args.indexOf("ann") + 1)
+      val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      def med(n: Int)(body: => Unit): Double = {
+        val ts = (0 until n).map { _ =>
+          val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }
+      Similarity.bruteTopK(spark, corpusDir).collect() // warm
+      val bruteMs = med(3)(Similarity.bruteTopK(spark, corpusDir).collect())
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val dims = Similarity.sq8Dims(e, dim)
+      val mns = dims.map(_._2).toArray
+      val steps = dims.map(_._3).toArray
+      val codesDir = "/dev/shm/graft/probe_sq8_codes"
+      Similarity.sq8Codes(e, mns, steps)
+        .write.mode("overwrite").parquet(codesDir)
+      val codes = spark.read.parquet(codesDir)
+      Similarity.sq8Query(e, codes, mns, steps).collect() // warm
+      val sq8Ms = med(3)(Similarity.sq8Query(e, codes, mns, steps).collect())
+      println(f"[probe] ann brute=$bruteMs%.1f ms sq8=$sq8Ms%.1f ms")
+    }
+
     // sustained windows at a thread ladder
     for (nt <- Seq(1, 2, 4, 8, 16)) {
       val done = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -593,7 +593,9 @@ object QueryEngine {
             // exact-score fast reject before r4 — see [[conjunctiveRange]]
             val rejectFast = h.size >= nPerGroup && {
               val w = h.head
-              if (rounded) score < w.key - 0.00005
+              if (rounded) score < w.key - 0.0000501 // 1e-9 pad: the double
+              // subtraction can land a hair above the exact decimal
+              // band edge; widening the band keeps the reject sound
               else score < w.key || (score == w.key && candidate > w.docID)
             }
             if (!rejectFast) {
@@ -833,7 +835,9 @@ object QueryEngine {
           // the r4 entirely. This is the hot exit for dense terms.
           val rejectFast = heap.size >= k && {
             val w = heap.head
-            if (rounded) score < w.key - 0.00005
+            if (rounded) score < w.key - 0.0000501 // 1e-9 pad: the double
+              // subtraction can land a hair above the exact decimal
+              // band edge; widening the band keeps the reject sound
             else score < w.key || (score == w.key && candidate > w.docID)
           }
           if (!rejectFast) {
@@ -1153,7 +1157,9 @@ object QueryEngine {
       if (heap.size >= k) {
         val w = heap.head
         val rejectFast =
-          if (rounded) score < w.key - 0.00005
+          if (rounded) score < w.key - 0.0000501 // 1e-9 pad: the double
+              // subtraction can land a hair above the exact decimal
+              // band edge; widening the band keeps the reject sound
           else score < w.key || (score == w.key && docID > w.docID)
         if (rejectFast) return
       }
