@@ -35,9 +35,12 @@ object Explain {
       Corpus.docs(spark, sfDir).select(col("docID"), col("lang"))
         .filter(col("docID") < 100))
 
-    show("tf aggregation (index stage 1)",
-      "Expect: one Exchange; partial_count before it (map-side combine), " +
-        "count after; whole-stage codegen around the explode+agg.",
+    show("tf projection (index stage 1)",
+      "Expect: NO Exchange anywhere — per-doc term frequencies are " +
+        "computed row-locally by the fused TokenCounts kernel (counted " +
+        "explode + struct projection); every token of a doc lives in " +
+        "one source row, so the old groupBy(docID, term) exchange " +
+        "aggregated groups that never crossed a partition.",
       Bm25.termFreq(Corpus.docs(spark, sfDir)))
 
     val indexDir = "/tmp/graft/explain_index"
@@ -77,6 +80,15 @@ object Explain {
         eng.topKFiltered("hash join", eng.prepareLangFacet("en"),
           Bm25.K, rounded = false, orMode = false)
       })
+
+    show("keyword facet prep (per-field docvals artifact, repo dimension)",
+      "Expect: PartitionFilters on field (directory pruning — only the " +
+        "field=repo partition is read) and PushedFilters on value " +
+        "(row-group stats; the artifact is (value, docID)-sorted within " +
+        "each field); ReadSchema is docID only after pruning. The " +
+        "corpus is never touched.",
+      new QueryEngine(spark, Seq(indexDir), localWandUpTo = 0L)
+        .keywordFacetDocs("repo", "src3"))
 
     val posDir = "/tmp/graft/explain_index_pos"
     Index.build(spark, sfDir, posDir,

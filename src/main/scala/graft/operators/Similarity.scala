@@ -537,7 +537,18 @@ object Similarity {
 
   /** The SQ8 QUERY pass over a prebuilt codes table (the amortized
     * steady-state shape — grid + codes are the index artifact, queries
-    * scan codes and rerank candidates from the full-precision table). */
+    * scan codes and rerank candidates from the full-precision table).
+    *
+    * Scope of the win (measured, BENCH.md r5): SQ8 is a SCAN-BOUND
+    * optimization — the codes artifact is ~2.6× smaller than the
+    * float32 table (111 MB vs 294 MB at the bench corpus), so in the
+    * IO-limited regime the engine targets (100 TB tables far beyond
+    * page cache) the quantized scan reads ~2.6× fewer bytes. At bench
+    * scale both tables sit in page cache, the comparison is CPU-bound,
+    * and the inline dequantization makes the quantized scan
+    * intrinsically ≥ the plain float scan (1,144 ms vs 836 ms after
+    * the r5 rerank collapse; 5,906 ms before it) — brute is the right
+    * choice when the corpus fits in memory, SQ8 when it does not. */
   def sq8Query(e: DataFrame, codes: DataFrame, mns: Array[Double],
                steps: Array[Double], queryIds: Seq[Long] = QueryIds,
                k: Int = K): DataFrame = {
