@@ -612,10 +612,10 @@ object Index {
     spark.read.parquet(s"$indexDir/docstats").as[DocStat]
   }
 
-  /** Keyword doc-values artifact (docID, lang) — the facet-prep source
-    * (the index answers its own facets; the corpus is never touched). */
   /** Keyword doc-values fields materialized by every build: each is a
-    * string column of the input docs frame (input_hint shape). */
+    * string column of the input docs frame (input_hint shape). The
+    * artifact is the facet-prep source — the index answers its own
+    * facets; the corpus is never touched. */
   val KeywordFields: Seq[String] = Seq("lang", "repo")
 
   /** (field, value, docID) rows of the keyword doc-values artifact for
